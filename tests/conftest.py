@@ -1,0 +1,36 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Environment must be set before jax initializes its backends, hence the
+os.environ writes at module import (conftest imports before any test module).
+This is the standard JAX technique for exercising pjit/Mesh code paths in CI
+without TPU hardware (SURVEY.md section 4).
+"""
+
+import os
+
+# Hard override: the outer environment pins JAX_PLATFORMS to the real TPU
+# (axon); unit tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Tests must be deterministic and CPU-friendly.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {devs}"
+    return devs
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

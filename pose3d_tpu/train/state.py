@@ -1,0 +1,96 @@
+"""Train state pytree: params + batch stats + optimizer + plateau schedule.
+
+Replaces the reference's ad-hoc ``torch.save({'epoch', 'batch_size', 'model',
+'optimizer'})`` checkpoints (train_1.py:186 etc.) with a single jit-friendly
+pytree. The learning rate lives in ``plateau.lr`` and is injected into the
+optax update every step (optax.inject_hyperparams), so the plateau schedule
+runs entirely on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pose3d_tpu.train.schedule import PlateauState, plateau_init
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    plateau: PlateauState
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=params,
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+    def with_lr(self, lr):
+        """Write the plateau lr into the injected optimizer hyperparams."""
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return self.replace(opt_state=self.opt_state._replace(hyperparams=hp))
+
+
+def make_optimizer(
+    lr: float, kind: str = "adamw", weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """AdamW (train_1.py:39) or Adam with the reference's tiny weight decay
+    (train_3.py uses Adam(weight_decay=1e-8))."""
+    if kind == "adamw":
+        return optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
+    if kind == "adam":
+        if weight_decay:
+            return optax.inject_hyperparams(
+                lambda learning_rate: optax.chain(
+                    optax.add_decayed_weights(weight_decay),
+                    optax.adam(learning_rate),
+                )
+            )(learning_rate=lr)
+        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    raise ValueError(kind)
+
+
+def create_train_state(
+    model, rng, example_input, lr: float, optimizer: str = "adamw",
+    weight_decay: float = 0.0, train_kwargs=None,
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        example_input,
+        train=True,
+        **(train_kwargs or {}),
+    )
+    tx = make_optimizer(lr, optimizer, weight_decay)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        plateau=plateau_init(lr),
+        tx=tx,
+        apply_fn=model.apply,
+    )

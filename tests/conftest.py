@@ -8,8 +8,6 @@ without TPU hardware (SURVEY.md section 4).
 
 import os
 
-# Hard override: the outer environment pins JAX_PLATFORMS to the real TPU
-# (axon); unit tests must run on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+# The env var alone is NOT enough in this environment: the patched jax build
+# pins jax_platforms to "axon,cpu" (the tunneled TPU) regardless of
+# JAX_PLATFORMS, which would silently run every test over the TPU tunnel.
+# config.update before first backend use wins.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

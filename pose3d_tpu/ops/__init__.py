@@ -1,0 +1,10 @@
+"""Fused compute ops (XLA formulations + Pallas kernels for the hot paths)."""
+
+from pose3d_tpu.ops.heatmap import (  # noqa: F401
+    gaussian_heatmap_3d,
+    heatmap_targets,
+    soft_argmax_2d,
+    soft_argmax_3d,
+    uvw_to_xyz,
+    xyz_to_uvw,
+)

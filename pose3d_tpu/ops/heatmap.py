@@ -1,0 +1,132 @@
+"""Volumetric heatmap ops: Gaussian target synthesis and soft-argmax decode.
+
+Reference contracts:
+- 3D Gaussian synthesis (phase3_direct/my_HybrIK/H36_dataset.py:148-202):
+  keypoint in [-1,1]^3 -> axis remap xyz->uvw = (-y,-z,x) (:143-144) ->
+  scale 31.5*(1+k) into a 64^3 grid -> a sigma=0.5 Gaussian evaluated on a
+  3^3 window centred at rint(k) (window size ceil(6*sigma) forced odd),
+  zero outside the window.
+- 3D soft-argmax (phase3_direct/my_HybrIK/Model.py:118-182): global softmax
+  over the 64^3 volume per joint, marginalize to per-axis distributions,
+  expectation against arange, rescale x,y -> (E/64 - .5)*2 and
+  z -> (E/64 - .5)*z_scale with z_scale=2.5 (phase3) or 2.0
+  (phase4_joined/Model.py:126-128).
+- 2D soft-argmax (phase5_loop/Model_2d.py:96-134): softmax over 64^2,
+  expectations normalized to [0,1] (no centring, no scale).
+
+TPU-first design:
+- synthesis is separable: three windowed 1-D Gaussians combined by outer
+  product (einsum) — vmappable over (B, J), no scatter, no dynamic shapes;
+- decode computes the three marginal expectations directly from the softmax
+  probabilities in one fused XLA computation; the (B,J,64^3) tensor is
+  produced once and consumed by three reductions XLA fuses into a single
+  pass (a Pallas kernel for the fully-fused logits->coords path lives in
+  pose3d_tpu.ops.pallas_softargmax).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+GRID = 64
+SIGMA = 0.5
+
+
+def xyz_to_uvw(kp):
+    """Axis remap for heatmap storage (H36_dataset.py:143-144):
+    (x,y,z) -> (-y,-z,x). kp: (...,3)."""
+    return jnp.stack([-kp[..., 1], -kp[..., 2], kp[..., 0]], axis=-1)
+
+
+def uvw_to_xyz(kp):
+    """Inverse remap (Model.py:129-130): (u,v,w) -> (w,-u,-v)."""
+    return jnp.stack([kp[..., 2], -kp[..., 0], -kp[..., 1]], axis=-1)
+
+
+def _axis_profile(k, grid: int, sigma: float):
+    """Windowed 1-D Gaussian: exp(-(i-k)^2 / 2 sigma^2) on the reference's
+    integer window |i - rint(k)| <= size//2, zero elsewhere. k: (...,)."""
+    size = int(math.ceil(6 * sigma))
+    if size % 2 == 0:
+        size += 1
+    half = size // 2
+    idx = jnp.arange(grid, dtype=jnp.float32)
+    k = k[..., None]  # (...,1) against (grid,)
+    g = jnp.exp(-jnp.square(idx - k) / (2.0 * sigma * sigma))
+    window = jnp.abs(idx - jnp.rint(k)) <= half
+    return jnp.where(window, g, 0.0)
+
+
+def gaussian_heatmap_3d(kp_uvw, grid: int = GRID, sigma: float = SIGMA):
+    """(..., 3) uvw keypoints in [-1,1] -> (..., grid, grid, grid) heatmaps.
+
+    Matches ``_keypoint_to_heatmap_3D`` (H36_dataset.py:148-194): scale
+    31.5*(1+k), separable Gaussian on the odd window around rint(k); the
+    reference's boundary cropping is equivalent to our index-space masking.
+    """
+    k = (grid / 2.0 - 0.5) * (1.0 + kp_uvw)  # 31.5*(1+k) for grid 64
+    gu = _axis_profile(k[..., 0], grid, sigma)  # (..., grid)
+    gv = _axis_profile(k[..., 1], grid, sigma)
+    gw = _axis_profile(k[..., 2], grid, sigma)
+    return jnp.einsum("...u,...v,...w->...uvw", gu, gv, gw)
+
+
+def heatmap_targets(kp3d, grid: int = GRID, sigma: float = SIGMA):
+    """(B,J,3) xyz keypoints in [-1,1] -> (B,J,grid,grid,grid) targets,
+    with the reference's xyz->uvw storage remap applied."""
+    return gaussian_heatmap_3d(xyz_to_uvw(kp3d), grid, sigma)
+
+
+def soft_argmax_3d(logits, num_joints: int = 17, depth: int = GRID,
+                   height: int = GRID, width: int = GRID,
+                   z_scale: float = 2.5, return_heatmap: bool = True):
+    """Volumetric soft-argmax decode (Model.py:118-182).
+
+    logits: (B, J*depth, height, width) conv output or (B, J, depth, height,
+    width). Returns (coords (B, J*3), heatmap (B,J,D,H,W) or None).
+    coords: x,y in [-1,1], z in [-z_scale/2*2, ...] per the reference scaling
+    (x,y)*(2), z*(z_scale).
+    """
+    b = logits.shape[0]
+    hm = logits.reshape(b, num_joints, depth * height * width)
+    # softmax in f32 for stability regardless of compute dtype
+    p = jnp.asarray(
+        jnp.exp(
+            hm.astype(jnp.float32)
+            - jnp.max(hm, axis=-1, keepdims=True).astype(jnp.float32)
+        )
+    )
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p5 = p.reshape(b, num_joints, depth, height, width)
+
+    hm_x = p5.sum(axis=(2, 3))  # (B,J,W)
+    hm_y = p5.sum(axis=(2, 4))  # (B,J,H)
+    hm_z = p5.sum(axis=(3, 4))  # (B,J,D)
+    ex = hm_x @ jnp.arange(width, dtype=jnp.float32)
+    ey = hm_y @ jnp.arange(height, dtype=jnp.float32)
+    ez = hm_z @ jnp.arange(depth, dtype=jnp.float32)
+
+    cx = (ex / width - 0.5) * 2.0
+    cy = (ey / height - 0.5) * 2.0
+    cz = (ez / depth - 0.5) * z_scale
+    coords = jnp.stack([cx, cy, cz], axis=-1).reshape(b, num_joints * 3)
+    return coords, (p5 if return_heatmap else None)
+
+
+def soft_argmax_2d(logits, num_joints: int = 17, height: int = GRID,
+                   width: int = GRID):
+    """2D soft-argmax (Model_2d.py:96-134): coords in [0,1], (B, J*2)."""
+    b = logits.shape[0]
+    hm = logits.reshape(b, num_joints, height * width)
+    p = jnp.exp(
+        hm.astype(jnp.float32)
+        - jnp.max(hm, axis=-1, keepdims=True).astype(jnp.float32)
+    )
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = p.reshape(b, num_joints, height, width)
+    ex = p.sum(axis=2) @ jnp.arange(width, dtype=jnp.float32)
+    ey = p.sum(axis=3) @ jnp.arange(height, dtype=jnp.float32)
+    coords = jnp.stack([ex / width, ey / height], axis=-1)
+    return coords.reshape(b, num_joints * 2)

@@ -1,0 +1,102 @@
+"""Checkpoint save/restore (orbax), reference-compatible run layout.
+
+Replaces ``torch.save({'epoch','batch_size','model','optimizer'},
+"./logs/models/"+run_name)`` (train_1.py:186, train_3.py:168, train_5.py:336)
+with an orbax pytree checkpoint holding {step, params, batch_stats,
+opt_state, plateau} plus run metadata. The ``logs/models/<run_name>`` path
+convention is preserved so the cross-phase checkpoint-reuse workflow (phase5
+loading the phase1 lifter, train_5.py:64-69) looks the same.
+
+Failure recovery (SURVEY.md section 5): ``save`` is atomic (orbax writes to a
+tmp dir then renames), and the trainers install a KeyboardInterrupt handler
+that snapshots an ``interrupt_<run>`` checkpoint — the reference's CtlCSave
+behavior (train_3.py:252-256).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(log_dir, run_name: str) -> pathlib.Path:
+    return (pathlib.Path(log_dir) / "models" / run_name).absolute()
+
+
+def save(state, log_dir, run_name: str, *, batch_size: int | None = None,
+         extra: dict | None = None) -> str:
+    """Checkpoint a TrainState (or any pytree of arrays) atomically."""
+    import json
+
+    path = _ckpt_dir(log_dir, run_name)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "plateau": dataclasses.asdict(state.plateau)
+        if dataclasses.is_dataclass(state.plateau) else state.plateau,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ckptr.save(path, payload, force=True)
+    # orbax array trees don't carry strings; run metadata goes in a sidecar
+    meta = {"batch_size": batch_size or 0, **(extra or {})}
+    with open(str(path) + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    return str(path)
+
+
+def restore(state, log_dir, run_name: str):
+    """Restore into the shape of an existing TrainState. Returns
+    (state, meta dict)."""
+    import json
+
+    from pose3d_tpu.train.schedule import PlateauState
+
+    path = _ckpt_dir(log_dir, run_name)
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "plateau": dataclasses.asdict(state.plateau),
+    }
+    # orbax restores concrete arrays matching the template's structure/dtypes
+    template = jax.tree_util.tree_map(np.asarray, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path, template)
+    state = state.replace(
+        step=payload["step"],
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(payload["opt_state"]),
+        ),
+        plateau=PlateauState(**payload["plateau"]),
+    )
+    meta = {}
+    meta_path = str(path) + ".meta.json"
+    if pathlib.Path(meta_path).exists():
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def restore_params(log_dir, run_name: str, params_template):
+    """Load only model params (cross-model checkpoint reuse, the phase5
+    pattern of loading a frozen phase1 lifter)."""
+    path = _ckpt_dir(log_dir, run_name)
+    template = {"params": jax.tree_util.tree_map(np.asarray, params_template)}
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path, {"params": template["params"]})
+    return payload["params"]
+
+
+def exists(log_dir, run_name: str) -> bool:
+    return _ckpt_dir(log_dir, run_name).exists()

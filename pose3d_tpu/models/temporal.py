@@ -1,0 +1,151 @@
+"""Temporal sequence lifter: spatial-temporal transformer over keypoint clips.
+
+The reference delegates long-range temporal lifting to the external
+MotionBERT repo (243-frame clips, invoked manually — phase2_opp_mb/
+run.py:475-478; only the (T,17,3) npy outputs are consumed). This module is
+the native implementation mandated by BASELINE config #3: a MotionBERT-style
+alternating spatial/temporal attention transformer that lifts (B, T, 17, 2)
+2D-keypoint clips to (B, T, 17, 3) 3D sequences.
+
+Architecture (MotionBERT/DSTformer family, re-designed for TPU):
+- joint tokens embedded to ``hidden``; learned spatial (17) and temporal (T)
+  positional embeddings;
+- each block runs attention over joints within a frame (sequence length 17,
+  batch B*T) then attention over time per joint (sequence length T, batch
+  B*17), each with a pre-LN MLP — both attentions are large batched matmuls
+  that map straight onto the MXU;
+- at clip length 243 full temporal attention fits comfortably (243^2 scores);
+  scale-out is batch sharding over the mesh (SURVEY.md section 5
+  "long-context" note), with jax.checkpoint available per block for memory.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class _MHSA(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (N, L, dim)
+        d = self.dim // self.heads
+        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            n, l, _ = t.shape
+            return t.reshape(n, l, self.heads, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        attn = jnp.einsum("nhld,nhmd->nhlm", q, k) * (d ** -0.5)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("nhlm,nhmd->nhld", attn, v)
+        n, _, l, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype)(out)
+
+
+class _MLP(nn.Module):
+    dim: int
+    ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.ratio * self.dim, dtype=self.dtype)(x)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype)(y)
+
+
+class SpatioTemporalBlock(nn.Module):
+    """One ST block: joint attention within frames, then time attention per
+    joint; pre-LN residual throughout."""
+
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, J, dim)
+        b, t, j, c = x.shape
+        # spatial: tokens = joints, batch = B*T
+        xs = x.reshape(b * t, j, c)
+        xs = xs + _MHSA(self.dim, self.heads, dtype=self.dtype)(
+            nn.LayerNorm(dtype=self.dtype)(xs)
+        )
+        xs = xs + _MLP(self.dim, dtype=self.dtype)(
+            nn.LayerNorm(dtype=self.dtype)(xs)
+        )
+        x = xs.reshape(b, t, j, c)
+        # temporal: tokens = frames, batch = B*J
+        xt = x.transpose(0, 2, 1, 3).reshape(b * j, t, c)
+        xt = xt + _MHSA(self.dim, self.heads, dtype=self.dtype)(
+            nn.LayerNorm(dtype=self.dtype)(xt)
+        )
+        xt = xt + _MLP(self.dim, dtype=self.dtype)(
+            nn.LayerNorm(dtype=self.dtype)(xt)
+        )
+        return xt.reshape(b, j, t, c).transpose(0, 2, 1, 3)
+
+
+class TemporalLifter(nn.Module):
+    """(B, T, 17, 2) -> (B, T, 17, 3) sequence lifting."""
+
+    n_joints: int = 17
+    in_dim: int = 2
+    out_dim: int = 3
+    clip_len: int = 243
+    hidden: int = 256
+    n_blocks: int = 5
+    heads: int = 8
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        del train
+        b, t, j, _ = x.shape
+        assert t <= self.clip_len, (t, self.clip_len)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x.astype(self.dtype))
+        spatial_pe = self.param(
+            "spatial_pe", nn.initializers.normal(0.02),
+            (1, 1, self.n_joints, self.hidden),
+        )
+        temporal_pe = self.param(
+            "temporal_pe", nn.initializers.normal(0.02),
+            (1, self.clip_len, 1, self.hidden),
+        )
+        x = x + spatial_pe.astype(self.dtype) + temporal_pe[:, :t].astype(self.dtype)
+        block_cls = (
+            nn.remat(SpatioTemporalBlock) if self.remat else SpatioTemporalBlock
+        )
+        for _ in range(self.n_blocks):
+            x = block_cls(self.hidden, self.heads, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(self.hidden // 2, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(y).astype(jnp.float32)
+
+
+def make_clips(sequence, clip_len: int = 243, stride: int | None = None):
+    """Host-side: (N, J, D) frame sequence -> (num_clips, clip_len, J, D)
+    sliding windows (stride defaults to clip_len, i.e. non-overlapping; the
+    MotionBERT convention for training windows)."""
+    import numpy as np
+
+    stride = stride or clip_len
+    n = sequence.shape[0]
+    starts = list(range(0, max(n - clip_len + 1, 1), stride))
+    clips = []
+    for s in starts:
+        clip = sequence[s : s + clip_len]
+        if len(clip) < clip_len:  # pad the tail clip by repeating last frame
+            pad = np.repeat(clip[-1:], clip_len - len(clip), axis=0)
+            clip = np.concatenate([clip, pad], axis=0)
+        clips.append(clip)
+    return np.stack(clips, axis=0)

@@ -1,0 +1,57 @@
+"""Sequence lifting inference: video 2D-keypoint JSON -> (T,17,3) npy.
+
+Replaces the reference's manual external hand-off
+(``python3 infer_wild.py --vid_path ... --json_path ... --out_path``,
+run.py:475-478) with the native temporal transformer: keypoints are
+normalized to image coordinates, chunked into overlapping clips, lifted in
+one batched jitted call, and the overlapping predictions averaged back into
+a (T,17,3) float32 sequence saved in the MB_npy interchange format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pose3d_tpu.models.temporal import TemporalLifter, make_clips
+from pose3d_tpu.pipeline.keypoints import load_video_json, save_mb_npy
+
+
+def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
+                  image_size: float = 1000.0, stride: int | None = None):
+    """(T,17,2) pixel keypoints -> (T,17,3) lifted sequence.
+
+    Clips of ``model.clip_len`` frames with ``stride`` overlap (default:
+    clip_len//2); overlapping frame predictions are averaged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t_total = kp2d_px.shape[0]
+    clip_len = min(model.clip_len, t_total)
+    stride = stride or max(clip_len // 2, 1)
+    kp = (kp2d_px / image_size).astype(np.float32)
+
+    clips = make_clips(kp, clip_len, stride)
+
+    @jax.jit
+    def infer(p, x):
+        return model.apply({"params": p}, x, train=False)
+
+    out = np.asarray(infer(params, jnp.asarray(clips)))  # (C, L, 17, 3)
+
+    acc = np.zeros((t_total, 17, 3), np.float32)
+    cnt = np.zeros((t_total, 1, 1), np.float32)
+    starts = list(range(0, max(t_total - clip_len + 1, 1), stride))
+    for c, s in zip(out, starts):
+        end = min(s + clip_len, t_total)
+        acc[s:end] += c[: end - s]
+        cnt[s:end] += 1.0
+    return acc / np.maximum(cnt, 1.0)
+
+
+def lift_video_json(params, model: TemporalLifter, json_path, out_npy_path,
+                    image_size: float = 1000.0):
+    kp2d, _, _ = load_video_json(json_path)
+    poses = lift_sequence(params, model, kp2d, image_size)
+    save_mb_npy(poses, out_npy_path)
+    return poses

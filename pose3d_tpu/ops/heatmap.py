@@ -81,13 +81,15 @@ def heatmap_targets(kp3d, grid: int = GRID, sigma: float = SIGMA):
 
 def soft_argmax_3d(logits, num_joints: int = 17, depth: int = GRID,
                    height: int = GRID, width: int = GRID,
-                   z_scale: float = 2.5, return_heatmap: bool = True):
+                   z_scale: float = 2.5, xy_scale: float = 2.0,
+                   return_heatmap: bool = True):
     """Volumetric soft-argmax decode (Model.py:118-182).
 
     logits: (B, J*depth, height, width) conv output or (B, J, depth, height,
     width). Returns (coords (B, J*3), heatmap (B,J,D,H,W) or None).
-    coords: x,y in [-1,1], z in [-z_scale/2*2, ...] per the reference scaling
-    (x,y)*(2), z*(z_scale).
+    coords: (E/dim - 0.5) * scale with the reference's scales — Model_3D uses
+    xy_scale=2, z_scale=2.5 (phase4: 2.0); Simple3DPoseBaseSMPL keeps raw
+    [-0.5, 0.5] coords, i.e. xy_scale=z_scale=1 (simple3dpose...py:257-259).
     """
     b = logits.shape[0]
     hm = logits.reshape(b, num_joints, depth * height * width)
@@ -108,8 +110,8 @@ def soft_argmax_3d(logits, num_joints: int = 17, depth: int = GRID,
     ey = hm_y @ jnp.arange(height, dtype=jnp.float32)
     ez = hm_z @ jnp.arange(depth, dtype=jnp.float32)
 
-    cx = (ex / width - 0.5) * 2.0
-    cy = (ey / height - 0.5) * 2.0
+    cx = (ex / width - 0.5) * xy_scale
+    cy = (ey / height - 0.5) * xy_scale
     cz = (ez / depth - 0.5) * z_scale
     coords = jnp.stack([cx, cy, cz], axis=-1).reshape(b, num_joints * 3)
     return coords, (p5 if return_heatmap else None)

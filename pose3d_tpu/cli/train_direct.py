@@ -1,0 +1,199 @@
+"""Phase-3/4 equivalent trainer: direct image -> 3D joint regression.
+
+Mirrors phase3_direct/my_HybrIK/train_3.py (ResNet50 + deconv + 64^3
+soft-argmax, MSE + Adam(wd 1e-8) + plateau, S1 train / S11 test with
+split-rate subsampling and an action filter, de-standardized MPJPE in mm,
+``infer()`` eval-only path) and phase4_joined/train.py (same model with
+z_scale 2.0, trained on video frames with MotionBERT pseudo-GT via
+``Custom_video_dataset``) — selected by ``--source h36m|video``.
+
+TPU redesign: frames stream through the double-buffered device feed; the
+Gaussian heatmap targets (when ``--heatmap_loss_weight`` > 0) are built on
+device inside the jitted step; metrics stay on device until the epoch ends.
+
+Usage:
+  python -m pose3d_tpu.cli.train_direct --run_name d1 --n_epochs 5
+  python -m pose3d_tpu.cli.train_direct --source video --video clip.mp4 \
+      --pipeline_root ./videos
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose3d_tpu import losses
+from pose3d_tpu.config import DirectConfig, parse_config
+from pose3d_tpu.data import h36m, stats as stats_lib, synthetic
+from pose3d_tpu.data.feed import batch_iterator, prefetch_to_device
+from pose3d_tpu.models.heads import PoseNet3D
+from pose3d_tpu.parallel.mesh import make_mesh, replicated
+from pose3d_tpu.train import checkpoint as ckpt
+from pose3d_tpu.train.image_steps import (
+    make_direct_eval_step,
+    make_direct_train_step,
+)
+from pose3d_tpu.train.logging import MetricLogger
+from pose3d_tpu.train.schedule import plateau_update
+from pose3d_tpu.train.state import create_train_state
+
+
+def load_image_split(cfg: DirectConfig, is_train: bool):
+    """-> (frames (N,256,256,3), kp3d (N,17,3), stats3d or None)."""
+    d = cfg.data
+    stats_dir = pathlib.Path(cfg.log_dir) / "run_time_utils"
+    if getattr(cfg, "source", "h36m") == "video":
+        from pose3d_tpu.data.video_dataset import load_video_dataset
+
+        _, poses, frames = load_video_dataset(cfg.pipeline_root, cfg.video)
+        split = int(len(poses) * 0.9)
+        sl = slice(0, split) if is_train else slice(split, None)
+        return frames[sl], poses[sl], None
+    if d.data_dir and pathlib.Path(d.data_dir).exists():
+        subjects = ("S1",) if is_train else ("S11",)  # train_3.py:41-42
+        kp2d, kp3d, paths, cams = h36m.read_data(
+            d.data_dir, subjects, d.action, d.mono_3d_file, d.camera_view,
+            load_frame_paths=True,
+        )
+        ds = h36m.preprocess(
+            kp2d, kp3d, stats_dir, is_train=is_train, zero_centre=d.zero_centre,
+            standardize_3d=d.standardize_3d, num_joints=d.num_joints,
+            split_rate=d.split_rate, frame_paths=paths, cam_ids=cams,
+        )
+        from pose3d_tpu.pipeline.video import load_frames
+
+        import cv2
+
+        frames = np.zeros((len(ds), cfg.image_size, cfg.image_size, 3), np.float32)
+        for i, p in enumerate(ds.frame_paths):
+            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            frames[i] = cv2.resize(img, (cfg.image_size, cfg.image_size)).astype(np.float32) / 256.0
+        return frames, ds.kp3d, ds.stats3d
+    # synthetic fallback: random frames + matching synthetic poses
+    n = d.synthetic_frames if is_train else max(d.synthetic_frames // 4, 8)
+    _, kp3d = synthetic.synthetic_h36m(n, seed=0 if is_train else 1)
+    kp3d = kp3d - kp3d[:, :1]
+    frames = synthetic.synthetic_frames(n, cfg.image_size,
+                                        seed=2 if is_train else 3)
+    return frames, kp3d, None
+
+
+def train(cfg: DirectConfig):
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = PoseNet3D(architecture=cfg.architecture, z_scale=cfg.z_scale,
+                      return_heatmap=True, dtype=dtype)
+    frames, kp3d, stats3d = load_image_split(cfg, is_train=True)
+    vframes, vkp3d, _ = load_image_split(cfg, is_train=False)
+
+    mesh = make_mesh()
+    state = create_train_state(
+        model, jax.random.key(cfg.seed), jnp.zeros((2, cfg.image_size, cfg.image_size, 3)),
+        lr=cfg.lr, optimizer=cfg.optimizer, weight_decay=cfg.weight_decay,
+    )
+    state = jax.device_put(state, replicated(mesh))
+    if cfg.resume and ckpt.exists(cfg.log_dir, cfg.run_name):
+        state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
+        print(f"resumed {cfg.run_name} at step {int(state.step)}")
+
+    step = make_direct_train_step(cfg.loss, cfg.heatmap_loss_weight)
+    eval_step = make_direct_eval_step(cfg.loss)
+    logger = MetricLogger(cfg.log_dir, cfg.run_name, config={
+        "learning_rate": cfg.lr, "architecture": cfg.architecture,
+        "dataset": "H3.6", "epochs": cfg.n_epochs,
+    })
+
+    n_train = (len(frames) // cfg.batch_size) * cfg.batch_size
+    steps_per_epoch = n_train // cfg.batch_size
+    try:
+        for epoch in range(cfg.n_epochs):
+            it = prefetch_to_device(
+                batch_iterator((frames, kp3d), cfg.batch_size, shuffle=True,
+                               seed=cfg.seed + epoch, epochs=1), mesh,
+            )
+            loss_acc, mpjpe_acc, last_loss = [], [], None
+            for i, (f, y) in enumerate(it):
+                state, m = step(state, f, y,
+                                jax.random.key(epoch * 100003 + i))
+                loss_acc.append(m["loss"])
+                mpjpe_acc.append(m["mpjpe_sums"])
+                last_loss = m["loss"]
+            state = state.replace(
+                plateau=plateau_update(state.plateau, last_loss))
+
+            vit = prefetch_to_device(
+                batch_iterator((vframes, vkp3d), cfg.batch_size, shuffle=False,
+                               epochs=1), mesh,
+            )
+            vloss_acc, vmpjpe_acc, n_val = [], [], 0
+            for f, y in vit:
+                vm = eval_step(state, f, y)
+                vloss_acc.append(vm["loss"])
+                vmpjpe_acc.append(vm["mpjpe_sums"])
+                n_val += f.shape[0]
+
+            def mm(sums_list, n):
+                sums = jnp.sum(jnp.stack(sums_list), axis=0)
+                if stats3d is not None and cfg.data.standardize_3d:
+                    # de-standardized MPJPE (train_3.py:85-96): metric on
+                    # unscaled coords — approximate per-axis std restore
+                    sums = sums * float(np.mean(stats3d.std))
+                return float(losses.mpjpe_mm(sums, n))
+
+            logger.log_epoch(
+                epoch, cfg.n_epochs,
+                float(jnp.mean(jnp.stack(loss_acc))), mm(mpjpe_acc, n_train),
+                float(jnp.mean(jnp.stack(vloss_acc))), mm(vmpjpe_acc, n_val),
+                lr=float(state.plateau.lr),
+            )
+    except KeyboardInterrupt:
+        path = ckpt.save(state, cfg.log_dir, "interrupt_" + cfg.run_name,
+                         batch_size=cfg.batch_size)
+        print(f"interrupted; saved {path}")
+        raise
+
+    path = ckpt.save(state, cfg.log_dir, cfg.run_name,
+                     batch_size=cfg.batch_size)
+    logger.finish()
+    print(f"saved {path}")
+    return state
+
+
+def infer(cfg: DirectConfig):
+    """Eval-only path (train_3.py:173-232 ``infer``): restore + validate."""
+    dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = PoseNet3D(architecture=cfg.architecture, z_scale=cfg.z_scale,
+                      dtype=dtype)
+    vframes, vkp3d, stats3d = load_image_split(cfg, is_train=False)
+    mesh = make_mesh()
+    state = create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((2, cfg.image_size, cfg.image_size, 3)), lr=cfg.lr,
+        optimizer=cfg.optimizer, weight_decay=cfg.weight_decay,
+    )
+    state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
+    eval_step = make_direct_eval_step(cfg.loss)
+    it = prefetch_to_device(
+        batch_iterator((vframes, vkp3d), cfg.batch_size, shuffle=False,
+                       epochs=1), mesh,
+    )
+    sums, n = None, 0
+    for f, y in it:
+        m = eval_step(state, f, y)
+        sums = m["mpjpe_sums"] if sums is None else sums + m["mpjpe_sums"]
+        n += f.shape[0]
+    mpjpe = float(losses.mpjpe_mm(sums, n))
+    print(f"infer MPJPE(val): {mpjpe:.2f} mm over {n} frames")
+    return mpjpe
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--infer" in sys.argv:
+        sys.argv.remove("--infer")
+        infer(parse_config(DirectConfig))
+    else:
+        train(parse_config(DirectConfig))

@@ -62,6 +62,10 @@ class DirectConfig:
     run_name: str = "direct_run"
     resume: bool = False
     z_scale: float = 2.5             # 2.5 phase3 / 2.0 phase4
+    image_size: int = 256            # reference input geometry (H36_dataset.py:129)
+    source: str = "h36m"             # h36m (phase3) | video (phase4)
+    video: str = ""                  # phase4: video name under pipeline_root
+    pipeline_root: str = "./videos"  # phase4: phase-2 artifact root
     heatmap_loss_weight: float = 0.0 # optional heatmap MSE supervision
     loss: str = "mse"                # MSE + Adam wd 1e-8 (train_3.py:30)
     weight_decay: float = 1e-8
@@ -92,6 +96,7 @@ class LoopConfig:
     seed: int = 0
     bf16: bool = True
     architecture: str = "resnet50"
+    image_size: int = 256
     data: DataConfig = dataclasses.field(
         default_factory=lambda: DataConfig(action="Walking", split_rate=64)
     )

@@ -59,22 +59,26 @@ def _axis_profile(k, grid: int, sigma: float):
     return jnp.where(window, g, 0.0)
 
 
-def gaussian_heatmap_3d(kp_uvw, grid: int = GRID, sigma: float = SIGMA):
-    """(..., 3) uvw keypoints in [-1,1] -> (..., grid, grid, grid) heatmaps.
+def gaussian_heatmap_3d(kp_uvw, grid=GRID, sigma: float = SIGMA):
+    """(..., 3) uvw keypoints in [-1,1] -> (..., gu, gv, gw) heatmaps.
 
     Matches ``_keypoint_to_heatmap_3D`` (H36_dataset.py:148-194): scale
-    31.5*(1+k), separable Gaussian on the odd window around rint(k); the
-    reference's boundary cropping is equivalent to our index-space masking.
+    31.5*(1+k) (generalized to (g/2 - .5)*(1+k) for non-64 grids), separable
+    Gaussian on the odd window around rint(k); the reference's boundary
+    cropping is equivalent to our index-space masking. ``grid`` may be an int
+    (cubic) or a (gu, gv, gw) tuple.
     """
-    k = (grid / 2.0 - 0.5) * (1.0 + kp_uvw)  # 31.5*(1+k) for grid 64
-    gu = _axis_profile(k[..., 0], grid, sigma)  # (..., grid)
-    gv = _axis_profile(k[..., 1], grid, sigma)
-    gw = _axis_profile(k[..., 2], grid, sigma)
+    gu_n, gv_n, gw_n = (grid,) * 3 if isinstance(grid, int) else grid
+    profiles = []
+    for axis, g in enumerate((gu_n, gv_n, gw_n)):
+        k = (g / 2.0 - 0.5) * (1.0 + kp_uvw[..., axis])
+        profiles.append(_axis_profile(k, g, sigma))
+    gu, gv, gw = profiles
     return jnp.einsum("...u,...v,...w->...uvw", gu, gv, gw)
 
 
-def heatmap_targets(kp3d, grid: int = GRID, sigma: float = SIGMA):
-    """(B,J,3) xyz keypoints in [-1,1] -> (B,J,grid,grid,grid) targets,
+def heatmap_targets(kp3d, grid=GRID, sigma: float = SIGMA):
+    """(B,J,3) xyz keypoints in [-1,1] -> (B,J,gu,gv,gw) targets,
     with the reference's xyz->uvw storage remap applied."""
     return gaussian_heatmap_3d(xyz_to_uvw(kp3d), grid, sigma)
 

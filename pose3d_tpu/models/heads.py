@@ -64,10 +64,13 @@ class PoseNet3D(nn.Module):
     depth: int = 64
     z_scale: float = 2.5
     return_heatmap: bool = True
+    use_pallas: bool = True  # fused decode kernel on TPU (coords-only path)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        import jax
+
         feats = ResNet(self.architecture, dtype=self.dtype, name="backbone")(
             x, train=train
         )
@@ -80,6 +83,15 @@ class PoseNet3D(nn.Module):
         logits = logits.transpose(0, 3, 1, 2).reshape(
             b, self.num_joints, self.depth, h, w
         )
+        if (not self.return_heatmap and self.use_pallas
+                and jax.default_backend() == "tpu"):
+            from pose3d_tpu.ops.pallas_softargmax import soft_argmax_3d_pallas
+
+            coords = soft_argmax_3d_pallas(
+                logits, self.num_joints, self.depth, h, w,
+                z_scale=self.z_scale,
+            )
+            return coords, None
         coords, heatmap = soft_argmax_3d(
             logits, self.num_joints, self.depth, h, w,
             z_scale=self.z_scale, return_heatmap=self.return_heatmap,

@@ -59,6 +59,50 @@ def zero_centre(pose):
     return centred
 
 
+def flip_heatmap(heatmap, pairs, shift: bool = False):
+    """Horizontally flip (..., J, H, W) heatmaps and swap left/right joint
+    channels (hybrik_utils.py:518-560 ``flip_heatmap``). ``shift`` rolls the
+    flipped map right by one pixel (the reference's alignment correction)."""
+    out = heatmap[..., ::-1]
+    perm = list(range(heatmap.shape[-3]))
+    for a, b in pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    out = jnp.take(out, jnp.asarray(perm), axis=-3)
+    if shift:
+        out = jnp.roll(out, 1, axis=-1)
+    return out
+
+
+def flip_xyz_joints(xyz, pairs):
+    """Flip metric (..., J, 3) joints: negate x, swap pairs
+    (hybrik_utils.py:648-686 ``flip_xyz_joints_3d``)."""
+    out = xyz * jnp.asarray([-1.0, 1.0, 1.0], dtype=xyz.dtype)
+    perm = list(range(xyz.shape[-2]))
+    for a, b in pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    return jnp.take(out, jnp.asarray(perm), axis=-2)
+
+
+def flip_thetas(thetas, pairs):
+    """Flip (..., J, 3) axis-angle rotations: negate the y/z components and
+    swap left/right (hybrik_utils.py:991-1017 ``flip_thetas``)."""
+    out = thetas * jnp.asarray([1.0, -1.0, -1.0], dtype=thetas.dtype)
+    perm = list(range(thetas.shape[-2]))
+    for a, b in pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    return jnp.take(out, jnp.asarray(perm), axis=-2)
+
+
+def flip_twist(phis, pairs):
+    """Flip (..., 23, 2) twist (cos, sin): negate sin, swap pairs indexed
+    relative to joint 1 (hybrik_utils.py:1020-1037 ``flip_twist``)."""
+    out = phis * jnp.asarray([1.0, -1.0], dtype=phis.dtype)
+    perm = list(range(phis.shape[-2]))
+    for a, b in pairs:
+        perm[a - 1], perm[b - 1] = perm[b - 1], perm[a - 1]
+    return jnp.take(out, jnp.asarray(perm), axis=-2)
+
+
 def camera_projection(points_cam, focal, center):
     """Pinhole projection of camera-frame (...,3) points to pixels.
 

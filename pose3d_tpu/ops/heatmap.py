@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 GRID = 64
@@ -119,6 +120,55 @@ def soft_argmax_3d(logits, num_joints: int = 17, depth: int = GRID,
     cz = (ez / depth - 0.5) * z_scale
     coords = jnp.stack([cx, cy, cz], axis=-1).reshape(b, num_joints * 3)
     return coords, (p5 if return_heatmap else None)
+
+
+def gaussian_heatmap_2d(pt, shape=(64, 64), sigma: float = 2.0):
+    """2D Gaussian target with centre value 1 (hybrik_utils.py:464-509
+    ``drawGaussian``): window 3*sigma around int(pt), zero outside; pt (...,2)
+    in (x, y) pixel coords of the target map."""
+    h, w = shape
+    tmp = int(3 * sigma)
+    px = jnp.floor(pt[..., 0])  # int(pt) truncation for the window centre
+    py = jnp.floor(pt[..., 1])
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    # unnormalized gaussian evaluated at integer-centre offsets (the
+    # reference centres g on the window midpoint = int(pt) + 0)
+    gx = jnp.exp(-jnp.square(xs - px[..., None]) / (2 * sigma * sigma))
+    gy = jnp.exp(-jnp.square(ys - py[..., None]) / (2 * sigma * sigma))
+    gx = jnp.where(jnp.abs(xs - px[..., None]) <= tmp, gx, 0.0)
+    gy = jnp.where(jnp.abs(ys - py[..., None]) <= tmp, gy, 0.0)
+    return jnp.einsum("...y,...x->...yx", gy, gx)
+
+
+def norm_heatmap(norm_type: str, heatmap):
+    """Heatmap normalization family (hybrik_utils.py:1159-1178): softmax /
+    sigmoid / divide_sum over the flattened per-joint map. heatmap (N,C,...)."""
+    shape = heatmap.shape
+    if norm_type == "softmax":
+        flat = heatmap.reshape(shape[0], shape[1], -1)
+        return jax.nn.softmax(flat, axis=2).reshape(shape)
+    if norm_type == "sigmoid":
+        return jax.nn.sigmoid(heatmap)
+    if norm_type == "divide_sum":
+        flat = heatmap.reshape(shape[0], shape[1], -1)
+        flat = flat / jnp.sum(flat, axis=2, keepdims=True)
+        return flat.reshape(shape)
+    raise NotImplementedError(norm_type)
+
+
+def hard_argmax_2d(heatmaps):
+    """(B,J,H,W) -> ((B,J,2) integer (x,y) peaks, (B,J) max values) — the
+    classic decode (hybrik_utils.py:1267-1311 ``get_max_pred_batch`` family)."""
+    b, j, h, w = heatmaps.shape
+    flat = heatmaps.reshape(b, j, -1)
+    idx = jnp.argmax(flat, axis=-1)
+    maxvals = jnp.max(flat, axis=-1)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    coords = jnp.stack([x, y], axis=-1)
+    # zero out coords where the peak is non-positive (reference convention)
+    return jnp.where(maxvals[..., None] > 0, coords, 0.0), maxvals
 
 
 def soft_argmax_2d(logits, num_joints: int = 17, height: int = GRID,

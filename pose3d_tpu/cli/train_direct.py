@@ -63,14 +63,10 @@ def load_image_split(cfg: DirectConfig, is_train: bool):
             standardize_3d=d.standardize_3d, num_joints=d.num_joints,
             split_rate=d.split_rate, frame_paths=paths, cam_ids=cams,
         )
-        from pose3d_tpu.pipeline.video import load_frames
+        from pose3d_tpu.data.native_loader import NativeImageLoader
 
-        import cv2
-
-        frames = np.zeros((len(ds), cfg.image_size, cfg.image_size, 3), np.float32)
-        for i, p in enumerate(ds.frame_paths):
-            img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            frames[i] = cv2.resize(img, (cfg.image_size, cfg.image_size)).astype(np.float32) / 256.0
+        loader = NativeImageLoader(cfg.image_size)
+        frames = loader.decode_batch(ds.frame_paths)
         return frames, ds.kp3d, ds.stats3d
     # synthetic fallback: random frames + matching synthetic poses
     n = d.synthetic_frames if is_train else max(d.synthetic_frames // 4, 8)

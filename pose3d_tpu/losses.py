@@ -36,11 +36,12 @@ def mse(pred, target):
 
 
 def loss_mpjpe(pred, target):
-    """Per-joint L2 error summed over batch: (B,J,D),(B,J,D) -> (J,).
-
-    Same semantics as the reference ``loss_MPJPE`` (losses.py:3-7).
+    """Per-joint L2 error summed over all leading axes:
+    (..., J, D) -> (J,). For (B,J,D) this is exactly the reference
+    ``loss_MPJPE`` (losses.py:3-7); clip inputs (B,T,J,D) also sum over time.
     """
-    return jnp.sum(jnp.linalg.norm(pred - target, axis=-1), axis=0)
+    err = jnp.linalg.norm(pred - target, axis=-1)
+    return jnp.sum(err, axis=tuple(range(err.ndim - 1)))
 
 
 def mpjpe_mm(per_joint_sums, dataset_size, num_joints: int = 17,

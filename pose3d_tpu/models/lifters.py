@@ -197,6 +197,7 @@ class JointTransformerLifter(nn.Module):
     hidden: int = 256
     n_blocks: int = 2
     heads: int = 4
+    class_token: bool = False  # two2three.py:314-384 variant
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -204,10 +205,20 @@ class JointTransformerLifter(nn.Module):
         del train  # no dropout/BN in the reference transformer path
         x = x.astype(self.dtype)
         tokens = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        pe = sinusoidal_positional_embeddings(self.n_joints, self.hidden)
+        seq = self.n_joints + (1 if self.class_token else 0)
+        if self.class_token:
+            cls = self.param("cls_token", nn.initializers.normal(0.02),
+                             (1, 1, self.hidden))
+            cls = jnp.broadcast_to(
+                cls.astype(self.dtype), (x.shape[0], 1, self.hidden)
+            )
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+        pe = sinusoidal_positional_embeddings(seq, self.hidden)
         tokens = tokens + jnp.asarray(pe, dtype=self.dtype)
         for _ in range(self.n_blocks):
             tokens = TransformerBlock(self.hidden, self.heads, dtype=self.dtype)(tokens)
+        if self.class_token:
+            tokens = tokens[:, 1:]
         y = nn.Dense(self.hidden // 2, dtype=self.dtype)(tokens)
         y = nn.relu(y)
         y = nn.Dense(self.out_dim, dtype=self.dtype)(y)

@@ -82,6 +82,7 @@ def train(cfg: LiftConfig):
     state = create_train_state(
         model, jax.random.key(cfg.seed),
         jnp.zeros((cfg.batch_size, d.num_joints, 2)), lr=cfg.lr,
+        grad_clip=cfg.grad_clip,
     )
     if cfg.resume and ckpt.exists(cfg.log_dir, cfg.run_name):
         state, meta = ckpt.restore(state, cfg.log_dir, cfg.run_name)
@@ -134,9 +135,28 @@ def train(cfg: LiftConfig):
 
     path = ckpt.save(state, cfg.log_dir, cfg.run_name,
                      batch_size=cfg.batch_size, extra={"model": cfg.model})
+    _save_visualizations(cfg, state, vy1, vy2)
     logger.finish()
     print(f"saved {path}")
     return state
+
+
+def _save_visualizations(cfg: LiftConfig, state, vy1, vy2):
+    """End-of-run GT-vs-pred renders (train_1.py:159-184 convention:
+    first/last validation samples into logs/visualizations/<run>/)."""
+    try:
+        from pose3d_tpu.utils.visualize import visualize_3d
+
+        pred, _ = __import__("pose3d_tpu.train.steps", fromlist=["_apply"])._apply(
+            state, state.params, vy1[0], train=False
+        )
+        pred = np.asarray(pred).reshape(-1, vy2.shape[-2], 3)
+        gt = np.asarray(vy2[0])
+        out_dir = pathlib.Path(cfg.log_dir) / "visualizations" / cfg.run_name
+        visualize_3d(gt[0], pred[0], out_dir / "3d_test_a.png")
+        visualize_3d(gt[-1], pred[-1], out_dir / "3d_test_b.png")
+    except Exception as e:  # rendering must never kill a training run
+        print(f"visualization skipped: {e}")
 
 
 if __name__ == "__main__":

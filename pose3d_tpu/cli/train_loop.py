@@ -38,14 +38,17 @@ from pose3d_tpu.train.state import create_train_state
 
 
 def _load_frozen(model, example, log_dir, run_name):
-    """Restore a frozen model's params from a phase-1-style checkpoint."""
-    state = create_train_state(model, jax.random.key(0), example, lr=1e-4)
+    """Restore a frozen model's params from a phase-1-style checkpoint
+    (params-only partial restore — independent of the optimizer layout the
+    checkpoint was trained with)."""
+    template = model.init({"params": jax.random.key(0)}, example,
+                          train=False)["params"]
     if run_name and ckpt.exists(log_dir, run_name):
-        state, _ = ckpt.restore(state, log_dir, run_name)
+        params = ckpt.restore_params(log_dir, run_name, template)
         print(f"frozen model restored from {run_name}")
-    else:
-        print(f"frozen checkpoint {run_name!r} not found; fresh init")
-    return state.params
+        return params
+    print(f"frozen checkpoint {run_name!r} not found; fresh init")
+    return template
 
 
 def load_frames_split(cfg: LoopConfig, is_train: bool):

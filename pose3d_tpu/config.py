@@ -43,6 +43,7 @@ class LiftConfig:
     resume: bool = False
     flip: bool = False               # validation flip-TTA (Flip flag)
     loss: str = "mse"                # MSELoss (train_1.py:37); l1 available
+    grad_clip: float = 0.0           # global-norm clip (legacy main.py:467)
     log_dir: str = "./logs"
     seed: int = 0
     ctlc_save: bool = True           # interrupt checkpoint (train_3.py:252-256)

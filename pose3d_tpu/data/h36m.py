@@ -146,6 +146,8 @@ def preprocess(
     normalize: bool = False,
     num_joints: int = 17,
     split_rate: int | None = None,
+    sample_n: int | None = None,
+    sample_seed: int = 0,
     frame_paths=None,
     cam_ids=None,
 ) -> KeypointDataset:
@@ -162,6 +164,17 @@ def preprocess(
             frame_paths = frame_paths[::split_rate]
         if cam_ids is not None:
             cam_ids = cam_ids[::split_rate]
+    if sample_n:
+        # random-subset mode (H36_dataset.py:20-21 ``sample``/``Samples``),
+        # with an explicit seed instead of module-import-time global state
+        idx = np.random.default_rng(sample_seed).integers(
+            0, len(kp3d), sample_n
+        )
+        kp2d, kp3d = kp2d[idx], kp3d[idx]
+        if frame_paths is not None:
+            frame_paths = [frame_paths[i] for i in idx]
+        if cam_ids is not None:
+            cam_ids = cam_ids[idx]
     kp2d, kp3d = kp2d.copy(), kp3d.copy()
 
     if zero_centre:

@@ -88,13 +88,31 @@ def restore(state, log_dir, run_name: str):
     return state, meta
 
 
-def restore_params(log_dir, run_name: str, params_template):
-    """Load only model params (cross-model checkpoint reuse, the phase5
-    pattern of loading a frozen phase1 lifter)."""
+def restore_params(log_dir, run_name: str, params_template,
+                   batch_stats_template=None):
+    """Load only model params (+ batch stats): cross-model checkpoint reuse
+    (the phase5 pattern of loading a frozen phase1 lifter, train_5.py:64-69)
+    and inference-time restore that must not depend on the optimizer layout.
+    Returns params (or (params, batch_stats) when a stats template is given).
+    """
     path = _ckpt_dir(log_dir, run_name)
     template = {"params": jax.tree_util.tree_map(np.asarray, params_template)}
-    with ocp.StandardCheckpointer() as ckptr:
-        payload = ckptr.restore(path, {"params": template["params"]})
+    if batch_stats_template is not None:
+        template["batch_stats"] = jax.tree_util.tree_map(
+            np.asarray, batch_stats_template
+        )
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.RestoreArgs(restore_type=np.ndarray), template
+        )
+        payload = ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                template, restore_args=restore_args, partial_restore=True
+            ),
+        )
+    if batch_stats_template is not None:
+        return payload["params"], payload["batch_stats"]
     return payload["params"]
 
 

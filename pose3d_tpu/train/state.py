@@ -55,27 +55,33 @@ class TrainState:
 
 
 def make_optimizer(
-    lr: float, kind: str = "adamw", weight_decay: float = 0.0
+    lr: float, kind: str = "adamw", weight_decay: float = 0.0,
+    grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW (train_1.py:39) or Adam with the reference's tiny weight decay
-    (train_3.py uses Adam(weight_decay=1e-8))."""
-    if kind == "adamw":
-        return optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
-    if kind == "adam":
-        if weight_decay:
-            return optax.inject_hyperparams(
-                lambda learning_rate: optax.chain(
-                    optax.add_decayed_weights(weight_decay),
-                    optax.adam(learning_rate),
-                )
-            )(learning_rate=lr)
-        return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
-    raise ValueError(kind)
+    (train_3.py uses Adam(weight_decay=1e-8)); optional global-norm gradient
+    clipping (the legacy main.py:467-468 clip flag)."""
+    if kind not in ("adamw", "adam"):
+        raise ValueError(kind)
+
+    def build(learning_rate):
+        chain = []
+        if grad_clip:
+            chain.append(optax.clip_by_global_norm(grad_clip))
+        if kind == "adamw":
+            chain.append(optax.adamw(learning_rate))
+        else:
+            if weight_decay:
+                chain.append(optax.add_decayed_weights(weight_decay))
+            chain.append(optax.adam(learning_rate))
+        return optax.chain(*chain) if len(chain) > 1 else chain[0]
+
+    return optax.inject_hyperparams(build)(learning_rate=lr)
 
 
 def create_train_state(
     model, rng, example_input, lr: float, optimizer: str = "adamw",
-    weight_decay: float = 0.0, train_kwargs=None,
+    weight_decay: float = 0.0, grad_clip: float = 0.0, train_kwargs=None,
 ) -> TrainState:
     variables = model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
@@ -83,7 +89,7 @@ def create_train_state(
         train=True,
         **(train_kwargs or {}),
     )
-    tx = make_optimizer(lr, optimizer, weight_decay)
+    tx = make_optimizer(lr, optimizer, weight_decay, grad_clip)
     params = variables["params"]
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

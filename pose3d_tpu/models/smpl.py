@@ -167,6 +167,38 @@ def synthetic_model(n_vertices: int = 800, seed: int = 0) -> SMPLModel:
 
 # --- math kernels -----------------------------------------------------------
 
+def joints2bones(joints, parents=PARENTS[:24]):
+    """Decompose (B,J,3) joints into unit bone directions + lengths
+    (lbs.py:143-170): the root entry carries its absolute position and zero
+    length. Vectorized (the reference loops per joint)."""
+    parents = np.asarray(parents)
+    safe = parents.clip(0)
+    diff = joints - joints[:, safe]
+    length = jnp.linalg.norm(diff, axis=-1, keepdims=True) + 1e-8
+    is_root = (parents < 0)[None, :, None]
+    dirs = jnp.where(is_root, joints, diff / length)
+    lens = jnp.where(is_root, 0.0, length)
+    return dirs, lens
+
+
+def bones2joints(bone_dirs, bone_lens, parents=PARENTS[:24],
+                 levels=FK_LEVELS):
+    """Recompose joints from bone directions/lengths (lbs.py:173-192),
+    accumulated level-by-level over the tree."""
+    parents = np.asarray(parents)
+    b = bone_lens.shape[0]
+    joints = jnp.zeros((b,) + bone_dirs.shape[-2:], bone_dirs.dtype)
+    joints = joints.at[:, 0].set(jnp.broadcast_to(bone_dirs[:, 0],
+                                                  (b, 3)))
+    for idx in levels:
+        idx = list(idx)
+        p = parents[idx]
+        joints = joints.at[:, idx].set(
+            joints[:, p] + bone_dirs[:, idx] * bone_lens[:, idx]
+        )
+    return joints
+
+
 def batch_rodrigues(rot_vecs):
     """(...,3) axis-angle -> (...,3,3) rotation (lbs.py:446-477 semantics,
     incl. the +1e-8 angle regularization)."""

@@ -285,3 +285,24 @@ class TestHybrIKEndToEnd:
         for gi in g:
             assert bool(jnp.all(jnp.isfinite(gi)))
         assert float(jnp.abs(g[0]).max()) > 0
+
+
+class TestBones:
+    def test_joints2bones_roundtrip(self, model, rng):
+        rest = smpl.vertices2joints(
+            jnp.asarray(model.j_regressor), jnp.asarray(model.v_template)[None]
+        )
+        rest = jnp.broadcast_to(rest, (3, 24, 3))
+        dirs, lens = smpl.joints2bones(rest)
+        back = smpl.bones2joints(dirs, lens)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rest),
+                                   atol=1e-5)
+
+    def test_bone_dirs_unit(self, model):
+        rest = smpl.vertices2joints(
+            jnp.asarray(model.j_regressor), jnp.asarray(model.v_template)[None]
+        )
+        dirs, lens = smpl.joints2bones(rest)
+        norms = np.linalg.norm(np.asarray(dirs[:, 1:]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+        assert float(lens[:, 1:].min()) > 0

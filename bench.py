@@ -3,12 +3,18 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-- TPU side: the flagship joint-token transformer lifter (the reference's
-  active phase1 model, MyViT — train_1.py:35), jitted inference at large
-  batch in bfloat16 compute on one chip.
+Methodology (important on this tunneled-TPU environment):
+- ``block_until_ready`` does NOT fence execution through the axon tunnel and
+  per-call dispatch costs tens of ms, so per-call timing loops measure
+  nothing. The lifter forward is therefore iterated ON DEVICE inside a
+  ``lax.scan`` (each iteration's input depends on the previous output, so no
+  step can be elided), fenced by materializing a scalar to host.
+- Two scan lengths K1 < K2 are timed and the per-iteration time is
+  (t2 - t1) / (K2 - K1): the (large, variable) tunnel round-trip and any
+  constant overhead cancel.
 - Baseline: a torch implementation of the same architecture on CPU (the
   reference stack is torch; BASELINE.json's metric is throughput vs the CPU
-  reference at MPJPE parity), measured live in-process.
+  reference), measured live in-process.
 """
 
 from __future__ import annotations
@@ -20,15 +26,29 @@ import time
 import numpy as np
 
 BATCH = 8192
-WARMUP = 5
-ITERS = 30
-
-CPU_BATCH = 512
-CPU_ITERS = 8
+K1, K2 = 30, 180
 
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _chain_fn(model, k):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(params, kp):
+        def body(kp, _):
+            out = model.apply({"params": params}, kp, train=False)
+            # data dependence: next input derives from this output
+            return kp + out[..., :2] * 1e-3, out[0, 0, 0]
+
+        kp, samples = lax.scan(body, kp, None, length=k)
+        return kp, samples[-1]
+
+    return chain
 
 
 def tpu_lifting_throughput() -> float:
@@ -38,25 +58,35 @@ def tpu_lifting_throughput() -> float:
     from pose3d_tpu.models.lifters import JointTransformerLifter
 
     model = JointTransformerLifter(dtype=jnp.bfloat16)
-    x = jnp.asarray(np.random.default_rng(0).random((BATCH, 17, 2)), jnp.float32)
-    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((BATCH, 17, 2)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, x, train=False)["params"]
 
-    @jax.jit
-    def fwd(params, kp2d):
-        return model.apply({"params": params}, kp2d, train=False)
+    chain1, chain2 = _chain_fn(model, K1), _chain_fn(model, K2)
 
-    params = variables["params"]
-    out = fwd(params, x)
-    out.block_until_ready()
-    _log(f"bench: compiled on {jax.devices()[0].platform}, out {out.shape}")
-    for _ in range(WARMUP):
-        fwd(params, x).block_until_ready()
+    def fenced(fn):
+        _, s = fn(params, x)
+        return float(s)  # host materialization is the only reliable fence
+
+    fenced(chain1)  # compile
+    fenced(chain2)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(params, x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    fenced(chain1)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fenced(chain2)
+    t2 = time.perf_counter() - t0
+    per_iter = (t2 - t1) / (K2 - K1)
+    _log(f"bench: K{K1} {t1 * 1e3:.0f} ms, K{K2} {t2 * 1e3:.0f} ms "
+         f"-> {per_iter * 1e3:.3f} ms/iter (RTT cancelled)")
+    if per_iter <= 0:  # timing noise swamped the delta; fall back to K2 raw
+        per_iter = t2 / K2
+        _log("bench: negative delta, using raw K2 time (upper bound)")
+    return BATCH / per_iter
+
+
+CPU_BATCH = 512
+CPU_ITERS = 8
 
 
 def cpu_reference_throughput() -> float:

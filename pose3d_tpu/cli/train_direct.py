@@ -79,8 +79,10 @@ def load_image_split(cfg: DirectConfig, is_train: bool):
 
 def train(cfg: DirectConfig):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    # materialize the (B,17,64^3) heatmap volume only when it is supervised;
+    # otherwise the head decodes straight from NHWC (no layout transpose)
     model = PoseNet3D(architecture=cfg.architecture, z_scale=cfg.z_scale,
-                      return_heatmap=True, dtype=dtype)
+                      return_heatmap=cfg.heatmap_loss_weight > 0, dtype=dtype)
     frames, kp3d, stats3d = load_image_split(cfg, is_train=True)
     vframes, vkp3d, _ = load_image_split(cfg, is_train=False)
 

@@ -78,23 +78,38 @@ class PoseNet3D(nn.Module):
             out_channels=self.num_joints * self.depth, dtype=self.dtype,
             name="head",
         )(feats, train=train)
-        # NHWC logits (B, 64, 64, J*depth) -> (B, J, depth, H, W)
         b, h, w, _ = logits.shape
+        if not self.return_heatmap:
+            if (self.use_pallas and not train
+                    and jax.default_backend() == "tpu"):
+                # inference: fused single-pass decode kernel (2.4x XLA fwd)
+                from pose3d_tpu.ops.pallas_softargmax import (
+                    soft_argmax_3d_pallas,
+                )
+
+                lg = logits.transpose(0, 3, 1, 2).reshape(
+                    b, self.num_joints, self.depth, h, w
+                )
+                coords = soft_argmax_3d_pallas(
+                    lg, self.num_joints, self.depth, h, w,
+                    z_scale=self.z_scale,
+                )
+                return coords, None
+            # training fast path: decode straight from NHWC (no 1GB-scale
+            # layout transpose in forward/backward)
+            from pose3d_tpu.ops.heatmap import soft_argmax_3d_nhwc
+
+            coords = soft_argmax_3d_nhwc(
+                logits, self.num_joints, self.depth, z_scale=self.z_scale,
+            )
+            return coords, None
+        # heatmap requested: produce the reference's (B,J,D,H,W) volume
         logits = logits.transpose(0, 3, 1, 2).reshape(
             b, self.num_joints, self.depth, h, w
         )
-        if (not self.return_heatmap and self.use_pallas
-                and jax.default_backend() == "tpu"):
-            from pose3d_tpu.ops.pallas_softargmax import soft_argmax_3d_pallas
-
-            coords = soft_argmax_3d_pallas(
-                logits, self.num_joints, self.depth, h, w,
-                z_scale=self.z_scale,
-            )
-            return coords, None
         coords, heatmap = soft_argmax_3d(
             logits, self.num_joints, self.depth, h, w,
-            z_scale=self.z_scale, return_heatmap=self.return_heatmap,
+            z_scale=self.z_scale, return_heatmap=True,
         )
         return coords, heatmap
 

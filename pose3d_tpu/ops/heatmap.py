@@ -171,6 +171,30 @@ def hard_argmax_2d(heatmaps):
     return jnp.where(maxvals[..., None] > 0, coords, 0.0), maxvals
 
 
+def soft_argmax_3d_nhwc(logits_nhwc, num_joints: int = 17, depth: int = GRID,
+                        z_scale: float = 2.5, xy_scale: float = 2.0):
+    """Volumetric soft-argmax directly on the conv head's NHWC output
+    (B, H, W, J*depth) — same math as :func:`soft_argmax_3d` but without the
+    1-GB-scale NCHW transpose (and its gradient) the layout change costs on
+    TPU. The channel dim splits into (J, depth) for free.
+
+    Returns coords (B, J*3) with the reference scaling.
+    """
+    b, h, w, _ = logits_nhwc.shape
+    x = logits_nhwc.reshape(b, h, w, num_joints, depth).astype(jnp.float32)
+    m = jnp.max(x, axis=(1, 2, 4), keepdims=True)
+    p = jnp.exp(x - m)
+    s = jnp.sum(p, axis=(1, 2, 4), keepdims=True)
+    p = p / s
+    ex = jnp.einsum("bhwjd,w->bj", p, jnp.arange(w, dtype=jnp.float32))
+    ey = jnp.einsum("bhwjd,h->bj", p, jnp.arange(h, dtype=jnp.float32))
+    ez = jnp.einsum("bhwjd,d->bj", p, jnp.arange(depth, dtype=jnp.float32))
+    cx = (ex / w - 0.5) * xy_scale
+    cy = (ey / h - 0.5) * xy_scale
+    cz = (ez / depth - 0.5) * z_scale
+    return jnp.stack([cx, cy, cz], axis=-1).reshape(b, num_joints * 3)
+
+
 def soft_argmax_2d(logits, num_joints: int = 17, height: int = GRID,
                    width: int = GRID):
     """2D soft-argmax (Model_2d.py:96-134): coords in [0,1], (B, J*2)."""

@@ -133,3 +133,20 @@ class TestSoftArgmax2D:
         np.testing.assert_allclose(coords[..., 0], targets[..., 1] / 64, atol=1e-4)
         np.testing.assert_allclose(coords[..., 1], targets[..., 0] / 64, atol=1e-4)
         assert coords.min() >= 0 and coords.max() <= 1
+
+
+class TestSoftArgmaxNHWC:
+    def test_matches_jdhw_layout(self, rng):
+        """NHWC fast path == canonical (J,D,H,W) decode."""
+        b, h, w, j, d = 2, 16, 16, 17, 8
+        nhwc = jnp.asarray(
+            rng.standard_normal((b, h, w, j * d)).astype(np.float32) * 2
+        )
+        from pose3d_tpu.ops.heatmap import soft_argmax_3d_nhwc
+
+        got = soft_argmax_3d_nhwc(nhwc, j, d, z_scale=2.5)
+        jdhw = nhwc.reshape(b, h, w, j, d).transpose(0, 3, 4, 1, 2)
+        want, _ = soft_argmax_3d(jdhw, j, d, h, w, z_scale=2.5,
+                                 return_heatmap=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

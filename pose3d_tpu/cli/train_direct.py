@@ -33,6 +33,8 @@ from pose3d_tpu.models.heads import PoseNet3D
 from pose3d_tpu.parallel.mesh import make_mesh, replicated
 from pose3d_tpu.train import checkpoint as ckpt
 from pose3d_tpu.train.image_steps import (
+    make_direct_chunk_step,
+    make_direct_eval_chunk_step,
     make_direct_eval_step,
     make_direct_train_step,
 )
@@ -66,7 +68,8 @@ def load_image_split(cfg: DirectConfig, is_train: bool):
         from pose3d_tpu.data.native_loader import NativeImageLoader
 
         loader = NativeImageLoader(cfg.image_size)
-        frames = loader.decode_batch(ds.frame_paths)
+        # uint8 to the device; normalization happens inside the jitted step
+        frames = loader.decode_batch(ds.frame_paths, dtype=np.uint8)
         return frames, ds.kp3d, ds.stats3d
     # synthetic fallback: random frames + matching synthetic poses
     n = d.synthetic_frames if is_train else max(d.synthetic_frames // 4, 8)
@@ -74,6 +77,7 @@ def load_image_split(cfg: DirectConfig, is_train: bool):
     kp3d = kp3d - kp3d[:, :1]
     frames = synthetic.synthetic_frames(n, cfg.image_size,
                                         seed=2 if is_train else 3)
+    frames = (frames * 256.0).astype(np.uint8)
     return frames, kp3d, None
 
 
@@ -96,55 +100,66 @@ def train(cfg: DirectConfig):
         state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
         print(f"resumed {cfg.run_name} at step {int(state.step)}")
 
-    step = make_direct_train_step(cfg.loss, cfg.heatmap_loss_weight)
-    eval_step = make_direct_eval_step(cfg.loss)
+    k = max(cfg.chunk_steps, 1)
+    step = make_direct_chunk_step(cfg.loss, cfg.heatmap_loss_weight)
+    eval_step = make_direct_eval_chunk_step(cfg.loss)
     logger = MetricLogger(cfg.log_dir, cfg.run_name, config={
         "learning_rate": cfg.lr, "architecture": cfg.architecture,
         "dataset": "H3.6", "epochs": cfg.n_epochs,
     })
 
-    n_train = (len(frames) // cfg.batch_size) * cfg.batch_size
-    steps_per_epoch = n_train // cfg.batch_size
+    chunk_frames = k * cfg.batch_size
+    n_train = (len(frames) // chunk_frames) * chunk_frames
+    assert n_train > 0, (
+        f"need >= {chunk_frames} frames (chunk_steps x batch_size); "
+        f"got {len(frames)} — lower --chunk_steps or --batch_size"
+    )
+    # stage the stacked validation set on device once
+    from pose3d_tpu.train.epoch import stack_batches
+
+    vb = min(cfg.batch_size, len(vframes))
+    vf_stack, vy_stack = stack_batches((vframes, vkp3d), vb)
+    vf_stack, vy_stack = jnp.asarray(vf_stack), jnp.asarray(vy_stack)
+
     try:
         for epoch in range(cfg.n_epochs):
+            # chunks of K batches: one dispatch drives K optimizer steps
             it = prefetch_to_device(
-                batch_iterator((frames, kp3d), cfg.batch_size, shuffle=True,
+                batch_iterator((frames, kp3d), chunk_frames, shuffle=True,
                                seed=cfg.seed + epoch, epochs=1), mesh,
             )
             loss_acc, mpjpe_acc, last_loss = [], [], None
             for i, (f, y) in enumerate(it):
+                f = f.reshape(k, cfg.batch_size, *f.shape[1:])
+                y = y.reshape(k, cfg.batch_size, *y.shape[1:])
                 state, m = step(state, f, y,
                                 jax.random.key(epoch * 100003 + i))
                 loss_acc.append(m["loss"])
                 mpjpe_acc.append(m["mpjpe_sums"])
-                last_loss = m["loss"]
+                last_loss = m["last_batch_loss"]
             state = state.replace(
                 plateau=plateau_update(state.plateau, last_loss))
 
-            vit = prefetch_to_device(
-                batch_iterator((vframes, vkp3d), cfg.batch_size, shuffle=False,
-                               epochs=1), mesh,
-            )
-            vloss_acc, vmpjpe_acc, n_val = [], [], 0
-            for f, y in vit:
-                vm = eval_step(state, f, y)
-                vloss_acc.append(vm["loss"])
-                vmpjpe_acc.append(vm["mpjpe_sums"])
-                n_val += f.shape[0]
+            # whole validation set in one dispatch
+            vm = eval_step(state, vf_stack, vy_stack)
+            n_val = vf_stack.shape[0] * vf_stack.shape[1]
 
-            def mm(sums_list, n):
-                sums = jnp.sum(jnp.stack(sums_list), axis=0)
-                if stats3d is not None and cfg.data.standardize_3d:
-                    # de-standardized MPJPE (train_3.py:85-96): metric on
-                    # unscaled coords — approximate per-axis std restore
-                    sums = sums * float(np.mean(stats3d.std))
-                return float(losses.mpjpe_mm(sums, n))
-
+            destd = (float(np.mean(stats3d.std))
+                     if stats3d is not None and cfg.data.standardize_3d
+                     else 1.0)
+            # ONE host sync for all epoch metrics (each separate float() is
+            # a full round-trip on tunneled links)
+            packed = np.asarray(jnp.stack([
+                jnp.mean(jnp.stack(loss_acc)),
+                losses.mpjpe_mm(
+                    jnp.sum(jnp.stack(mpjpe_acc), 0) * destd, n_train),
+                vm["loss"],
+                losses.mpjpe_mm(vm["mpjpe_sums"] * destd, n_val),
+                state.plateau.lr,
+            ]))
             logger.log_epoch(
-                epoch, cfg.n_epochs,
-                float(jnp.mean(jnp.stack(loss_acc))), mm(mpjpe_acc, n_train),
-                float(jnp.mean(jnp.stack(vloss_acc))), mm(vmpjpe_acc, n_val),
-                lr=float(state.plateau.lr),
+                epoch, cfg.n_epochs, float(packed[0]), float(packed[1]),
+                float(packed[2]), float(packed[3]), lr=float(packed[4]),
             )
     except KeyboardInterrupt:
         path = ckpt.save(state, cfg.log_dir, "interrupt_" + cfg.run_name,

@@ -68,6 +68,7 @@ class DirectConfig:
     video: str = ""                  # phase4: video name under pipeline_root
     pipeline_root: str = "./videos"  # phase4: phase-2 artifact root
     heatmap_loss_weight: float = 0.0 # optional heatmap MSE supervision
+    chunk_steps: int = 8             # optimizer steps per dispatch (lax.scan)
     loss: str = "mse"                # MSE + Adam wd 1e-8 (train_3.py:30)
     weight_decay: float = 1e-8
     optimizer: str = "adam"

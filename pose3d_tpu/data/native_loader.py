@@ -42,6 +42,11 @@ def _load_library():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.pl_decode_batch_u8.restype = ctypes.c_int
+    lib.pl_decode_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.pl_gather_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
@@ -65,17 +70,27 @@ class NativeImageLoader:
         if self._lib is not None:
             self._handle = self._lib.pl_create(image_size, n_threads)
 
-    def decode_batch(self, paths) -> np.ndarray:
+    def decode_batch(self, paths, dtype=np.float32) -> np.ndarray:
+        """dtype float32: resized frames in [0,1) (/256 convention);
+        dtype uint8: raw resized pixels — normalize on device (4x less
+        host->HBM transfer)."""
         n, s = len(paths), self.image_size
-        out = np.empty((n, s, s, 3), np.float32)
+        as_u8 = np.dtype(dtype) == np.uint8
+        out = np.empty((n, s, s, 3), np.uint8 if as_u8 else np.float32)
         if self._handle is not None:
             arr = (ctypes.c_char_p * n)(
                 *[str(p).encode() for p in paths]
             )
-            self._lib.pl_decode_batch(
-                self._handle, arr, n,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
+            if as_u8:
+                self._lib.pl_decode_batch_u8(
+                    self._handle, arr, n,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                )
+            else:
+                self._lib.pl_decode_batch(
+                    self._handle, arr, n,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
             return out
         # cv2 fallback (identical convention: resize S + /256)
         import cv2
@@ -83,10 +98,11 @@ class NativeImageLoader:
         for i, p in enumerate(paths):
             img = cv2.imread(str(p))
             if img is None:
-                out[i] = 0.0
+                out[i] = 0
                 continue
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            out[i] = cv2.resize(img, (s, s)).astype(np.float32) / 256.0
+            resized = cv2.resize(img, (s, s))
+            out[i] = resized if as_u8 else resized.astype(np.float32) / 256.0
         return out
 
     def __del__(self):

@@ -194,6 +194,63 @@ int pl_decode_batch(void* handle, const char** paths, int n, float* out) {
   return ok.load();
 }
 
+// Decode n JPEGs into out (n, S, S, 3) uint8 (no normalization — the /256
+// happens on device, quartering host->HBM transfer volume).
+int pl_decode_batch_u8(void* handle, const char** paths, int n, uint8_t* out) {
+  auto* loader = static_cast<Loader*>(handle);
+  const int s = loader->image_size;
+  const size_t item = size_t(s) * s * 3;
+  std::atomic<int> ok{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < n; ++i) {
+    loader->pool.Submit([&, i] {
+      std::vector<uint8_t> rgb;
+      int w = 0, h = 0;
+      uint8_t* dst = out + size_t(i) * item;
+      if (DecodeJpeg(paths[i], &rgb, &w, &h)) {
+        // bilinear resize straight to uint8
+        const float sx = float(w) / s, sy = float(h) / s;
+        for (int y = 0; y < s; ++y) {
+          float fy = (y + 0.5f) * sy - 0.5f;
+          int y0 = fy < 0 ? 0 : int(fy);
+          int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+          float wy = fy - y0;
+          if (wy < 0) wy = 0;
+          for (int x = 0; x < s; ++x) {
+            float fx = (x + 0.5f) * sx - 0.5f;
+            int x0 = fx < 0 ? 0 : int(fx);
+            int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+            float wx = fx - x0;
+            if (wx < 0) wx = 0;
+            const uint8_t* p00 = rgb.data() + (size_t(y0) * w + x0) * 3;
+            const uint8_t* p01 = rgb.data() + (size_t(y0) * w + x1) * 3;
+            const uint8_t* p10 = rgb.data() + (size_t(y1) * w + x0) * 3;
+            const uint8_t* p11 = rgb.data() + (size_t(y1) * w + x1) * 3;
+            uint8_t* o = dst + (size_t(y) * s + x) * 3;
+            for (int c = 0; c < 3; ++c) {
+              float top = p00[c] + wx * (p01[c] - p00[c]);
+              float bot = p10[c] + wx * (p11[c] - p10[c]);
+              o[c] = uint8_t(top + wy * (bot - top) + 0.5f);
+            }
+          }
+        }
+        ok.fetch_add(1);
+      } else {
+        memset(dst, 0, item);
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return ok.load();
+}
+
 // Parallel row gather: dst[i] = src[idx[i]] for float32 rows.
 void pl_gather_f32(const float* src, const int64_t* idx, int64_t n_idx,
                    int64_t row_elems, float* dst, int n_threads) {

@@ -24,15 +24,26 @@ from pose3d_tpu.ops.heatmap import heatmap_targets
 from pose3d_tpu.train.steps import LOSS_FNS
 
 
+def _normalize(frames):
+    """uint8 frames normalize on device (the /256 convention,
+    H36_dataset.py:131); float frames pass through already normalized."""
+    if jnp.issubdtype(frames.dtype, jnp.integer):
+        return frames.astype(jnp.float32) / 256.0
+    return frames
+
+
 def make_direct_train_step(loss: str = "mse", heatmap_loss_weight: float = 0.0,
                            donate: bool = True):
-    """(state, frames (B,H,W,3), kp3d (B,17,3), rng) -> (state, metrics).
+    """(state, frames (B,H,W,3) float or uint8, kp3d (B,17,3), rng) ->
+    (state, metrics).
 
     The model is a PoseNet3D-style apply returning (coords (B,51), heatmap).
     """
     loss_fn_ = LOSS_FNS[loss]
 
     def step(state, frames, kp3d, rng):
+        frames = _normalize(frames)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (coords, hm), updates = state.apply_fn(
@@ -60,10 +71,85 @@ def make_direct_train_step(loss: str = "mse", heatmap_loss_weight: float = 0.0,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_direct_chunk_step(loss: str = "mse",
+                           heatmap_loss_weight: float = 0.0,
+                           donate: bool = True):
+    """Multi-batch step: (state, frames (K,B,H,W,3), kp3d (K,B,17,3), rng)
+    -> (state, metrics summed/averaged over the K scanned batches).
+
+    One dispatch drives K optimizer steps — essential on dispatch-latency-
+    bound links (the tunneled-TPU environment serializes dependent python
+    -level calls at ~30 ms each) and harmless locally. Frames may be uint8
+    (normalized on device).
+    """
+    loss_fn_ = LOSS_FNS[loss]
+
+    def step(state, frames, kp3d, rng):
+        k = frames.shape[0]
+
+        def body(st, xs):
+            f, y, r = xs
+            f = _normalize(f)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": st.batch_stats}
+                (coords, hm), updates = st.apply_fn(
+                    variables, f, train=True, rngs={"dropout": r},
+                    mutable=["batch_stats"],
+                )
+                pred = coords.reshape(y.shape)
+                total = loss_fn_(pred, y)
+                if heatmap_loss_weight:
+                    hm_gt = heatmap_targets(jnp.clip(y, -1.0, 1.0),
+                                            grid=hm.shape[-3:])
+                    total = total + heatmap_loss_weight * losses.mse(hm, hm_gt)
+                return total, (pred, updates["batch_stats"])
+
+            (l, (pred, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            st = st.with_lr(st.plateau.lr)
+            st = st.apply_gradients(grads, new_bs)
+            return st, (l, losses.loss_mpjpe(pred, y))
+
+        rngs = jax.random.split(rng, k)
+        state, (loss_k, mpjpe_k) = jax.lax.scan(
+            body, state, (frames, kp3d, rngs)
+        )
+        return state, {
+            "loss": jnp.mean(loss_k),
+            "last_batch_loss": loss_k[-1],
+            "mpjpe_sums": jnp.sum(mpjpe_k, axis=0),
+        }
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_direct_eval_chunk_step(loss: str = "mse"):
+    """Whole-eval-set step: (state, frames (K,B,H,W,3), kp3d (K,B,17,3)) ->
+    {"loss" mean, "mpjpe_sums"} in ONE dispatch (lax.scan over batches)."""
+    loss_fn_ = LOSS_FNS[loss]
+
+    def step(state, frames, kp3d):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, xs):
+            f, y = xs
+            coords, _ = state.apply_fn(variables, _normalize(f), train=False)
+            pred = coords.reshape(y.shape)
+            return carry, (loss_fn_(pred, y), losses.loss_mpjpe(pred, y))
+
+        _, (loss_k, mpjpe_k) = jax.lax.scan(body, None, (frames, kp3d))
+        return {"loss": jnp.mean(loss_k), "mpjpe_sums": jnp.sum(mpjpe_k, 0)}
+
+    return jax.jit(step)
+
+
 def make_direct_eval_step(loss: str = "mse"):
     loss_fn_ = LOSS_FNS[loss]
 
     def step(state, frames, kp3d):
+        frames = _normalize(frames)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         coords, _ = state.apply_fn(variables, frames, train=False)
         pred = coords.reshape(kp3d.shape)

@@ -124,24 +124,25 @@ class TemporalConfig:
 
 
 def _add_fields(parser: argparse.ArgumentParser, cls, prefix=""):
+    # All argparse defaults are None: a flag the user did not pass must NOT
+    # override the per-phase preset (e.g. LiftConfig's action="Posing").
     for f in dataclasses.fields(cls):
         if dataclasses.is_dataclass(f.type) or f.name == "data":
             _add_fields(parser, DataConfig, prefix=f"{f.name}.")
             continue
         name = f"--{prefix}{f.name}"
-        default = f.default if f.default is not dataclasses.MISSING else None
         if f.type in ("bool", bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                                default=default)
+                                default=None)
         elif f.type in ("int", int, "Optional[int]"):
-            parser.add_argument(name, type=int, default=default)
+            parser.add_argument(name, type=int, default=None)
         elif f.type in ("float", float):
-            parser.add_argument(name, type=float, default=default)
+            parser.add_argument(name, type=float, default=None)
         elif f.type == "tuple" or f.type is tuple:
             parser.add_argument(name, type=lambda s: tuple(s.split(",")),
-                                default=default)
+                                default=None)
         else:
-            parser.add_argument(name, type=str, default=default)
+            parser.add_argument(name, type=str, default=None)
 
 
 def parse_config(cls, argv=None):

@@ -83,6 +83,22 @@ def _build_coco_to_h36m_matrix() -> np.ndarray:
 COCO_TO_H36M_MATRIX = _build_coco_to_h36m_matrix()
 
 
+# Kinematic z-recovery ancestor chains (hybrik_utils.py:1181-1208,
+# ``h36m_recover_z``): for each non-root joint, the bone indices (joint-1
+# relative) along its path to the root — used to reconstruct absolute depth
+# from per-bone relative depths. Kept for API parity with decode pipelines
+# that consume it.
+H36M_RECOVER_Z = (
+    None, (0,), (1, 0), (2, 1, 0),
+    (3,), (4, 3), (5, 4, 3),
+    (6,), (7, 6),
+    (8, 7, 6), (9, 8, 7, 6),
+    (10, 6), (11, 10, 6), (12, 11, 10, 6),
+    (13, 6), (14, 13, 6), (15, 14, 13, 6),
+    (16, 6),
+)
+
+
 def coco_to_h36m(x):
     """Remap COCO-ordered keypoints to H36M ordering.
 

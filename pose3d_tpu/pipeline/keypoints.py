@@ -64,6 +64,20 @@ def load_video_json(path):
     return kp[..., :2], kp[..., 2], scores
 
 
+def rotate_to_global(poses, subject: str = "S1", camera: int = 2):
+    """Rotate camera-frame (T,17,3) sequences into the global frame using an
+    H36M camera orientation (the create_3d_mp4 convention, run.py:305-335:
+    data @ R.T with R from the camera quaternion)."""
+    import jax.numpy as jnp
+
+    from pose3d_tpu.core.cameras import extrinsics
+    from pose3d_tpu.core.quaternion import quat_to_rotmat
+
+    q, _ = extrinsics(subject, camera)
+    r = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    return np.asarray(poses) @ r.T
+
+
 def save_mb_npy(poses, out_path):
     """(T,17,3) float32 npy — the MotionBERT interchange format."""
     out_path = pathlib.Path(out_path)

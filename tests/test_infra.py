@@ -1,0 +1,116 @@
+"""Infrastructure units: config CLI parsing, checkpointing, device feed."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose3d_tpu.config import DirectConfig, LiftConfig, parse_config
+from pose3d_tpu.data.feed import batch_iterator, prefetch_to_device
+from pose3d_tpu.models.lifters import MartinezLifter
+from pose3d_tpu.parallel.mesh import make_mesh
+from pose3d_tpu.train import checkpoint as ckpt
+from pose3d_tpu.train.state import create_train_state
+
+
+class TestConfigCLI:
+    def test_defaults(self):
+        cfg = parse_config(LiftConfig, [])
+        assert cfg.model == "vit" and cfg.n_epochs == 150
+        assert cfg.data.action == "Posing"  # preset survives
+
+    def test_overrides(self):
+        cfg = parse_config(
+            LiftConfig,
+            ["--model", "martinez", "--lr", "0.001", "--flip", "1",
+             "--data.action", "Walking", "--data.split_rate", "64",
+             "--data.num_joints", "16"],
+        )
+        assert cfg.model == "martinez" and cfg.lr == 0.001 and cfg.flip
+        assert cfg.data.action == "Walking"
+        assert cfg.data.split_rate == 64 and cfg.data.num_joints == 16
+
+    def test_direct_preset(self):
+        cfg = parse_config(DirectConfig, ["--z_scale", "2.0",
+                                          "--source", "video"])
+        assert cfg.z_scale == 2.0 and cfg.source == "video"
+        assert cfg.weight_decay == 1e-8  # train_3.py Adam wd
+
+
+class TestCheckpoint:
+    def _state(self, grad_clip=0.0):
+        return create_train_state(
+            MartinezLifter(), jax.random.key(0), jnp.zeros((4, 17, 2)),
+            lr=1e-4, grad_clip=grad_clip,
+        )
+
+    def test_roundtrip(self, tmp_path):
+        state = self._state()
+        state = state.replace(step=jnp.asarray(7))
+        ckpt.save(state, tmp_path, "run_a", batch_size=32,
+                  extra={"model": "martinez"})
+        fresh = self._state()
+        restored, meta = ckpt.restore(fresh, tmp_path, "run_a")
+        assert int(restored.step) == 7
+        assert meta["batch_size"] == 32 and meta["model"] == "martinez"
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+
+    def test_partial_restore_across_optimizers(self, tmp_path):
+        """A checkpoint trained WITH grad clipping restores params into a
+        state built WITHOUT it (different opt tree) via restore_params."""
+        state = self._state(grad_clip=1.0)
+        ckpt.save(state, tmp_path, "run_b", batch_size=8)
+        template = self._state(grad_clip=0.0)
+        params, bs = ckpt.restore_params(
+            tmp_path, "run_b", template.params, template.batch_stats
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        )
+
+    def test_exists(self, tmp_path):
+        assert not ckpt.exists(tmp_path, "nope")
+        ckpt.save(self._state(), tmp_path, "yes")
+        assert ckpt.exists(tmp_path, "yes")
+
+
+class TestFeed:
+    def test_epoch_coverage_and_shuffle(self, rng):
+        x = np.arange(100, dtype=np.float32).reshape(100, 1)
+        batches = list(batch_iterator((x,), 10, shuffle=True, seed=1, epochs=1))
+        assert len(batches) == 10
+        seen = np.sort(np.concatenate([b[0].ravel() for b in batches]))
+        np.testing.assert_array_equal(seen, np.arange(100))
+        # shuffled: first batch is not simply 0..9
+        assert not np.array_equal(batches[0][0].ravel(), np.arange(10))
+
+    def test_drop_remainder(self):
+        x = np.zeros((105, 2), np.float32)
+        batches = list(batch_iterator((x,), 10, shuffle=False, epochs=1))
+        assert len(batches) == 10  # 105 -> 100
+
+    def test_prefetch_preserves_order(self, devices):
+        mesh = make_mesh()
+        x = np.arange(64, dtype=np.float32).reshape(8, 8)[:, :1].repeat(8, 1)
+        it = batch_iterator((np.arange(32, dtype=np.float32).reshape(32, 1),),
+                            8, shuffle=False, epochs=1)
+        out = [np.asarray(b[0]).ravel()[0] for b in prefetch_to_device(it, mesh)]
+        assert out == [0.0, 8.0, 16.0, 24.0]
+
+
+class TestRotateToGlobal:
+    def test_norm_preserved(self, rng):
+        from pose3d_tpu.pipeline.keypoints import rotate_to_global
+
+        poses = rng.standard_normal((10, 17, 3)).astype(np.float32)
+        out = rotate_to_global(poses, "S1", 2)
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=-1), np.linalg.norm(poses, axis=-1),
+            rtol=1e-5,
+        )

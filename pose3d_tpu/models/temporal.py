@@ -104,7 +104,20 @@ class TemporalLifter(nn.Module):
     n_blocks: int = 5
     heads: int = 8
     remat: bool = False
+    # Sequence parallelism (long clips): a PartitionSpec-style tuple for the
+    # (B, T, J, C) activations, e.g. ("data", "seq", None, None). Applied as
+    # GSPMD sharding constraints after the embedding and between blocks; XLA
+    # inserts the all-gathers the temporal attention needs. Requires an
+    # ambient mesh (jax.sharding.set_mesh). None = no constraint.
+    activation_spec: tuple | None = None
     dtype: jnp.dtype = jnp.float32
+
+    def _constrain(self, x):
+        if self.activation_spec is None:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P(*self.activation_spec))
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -121,11 +134,14 @@ class TemporalLifter(nn.Module):
             (1, self.clip_len, 1, self.hidden),
         )
         x = x + spatial_pe.astype(self.dtype) + temporal_pe[:, :t].astype(self.dtype)
+        x = self._constrain(x)
         block_cls = (
             nn.remat(SpatioTemporalBlock) if self.remat else SpatioTemporalBlock
         )
         for _ in range(self.n_blocks):
-            x = block_cls(self.hidden, self.heads, dtype=self.dtype)(x)
+            x = self._constrain(
+                block_cls(self.hidden, self.heads, dtype=self.dtype)(x)
+            )
         x = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.hidden // 2, dtype=self.dtype)(x)
         y = nn.relu(y)

@@ -39,7 +39,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from pose3d_tpu.train import checkpoint as ckpt
-    from pose3d_tpu.train.state import create_train_state
 
     inp = pathlib.Path(args.input)
     if inp.suffix == ".json":

@@ -27,7 +27,7 @@ import numpy as np
 
 from pose3d_tpu import losses
 from pose3d_tpu.config import DirectConfig, parse_config
-from pose3d_tpu.data import h36m, stats as stats_lib, synthetic
+from pose3d_tpu.data import h36m, synthetic
 from pose3d_tpu.data.feed import batch_iterator, prefetch_to_device
 from pose3d_tpu.models.heads import PoseNet3D
 from pose3d_tpu.parallel.mesh import make_mesh, replicated
@@ -36,7 +36,6 @@ from pose3d_tpu.train.image_steps import (
     make_direct_chunk_step,
     make_direct_eval_chunk_step,
     make_direct_eval_step,
-    make_direct_train_step,
 )
 from pose3d_tpu.train.logging import MetricLogger
 from pose3d_tpu.train.schedule import plateau_update

@@ -114,39 +114,54 @@ def train(cfg: LoopConfig):
     })
 
     n_train = (len(frames) // cfg.batch_size) * cfg.batch_size
-    for epoch in range(cfg.n_epochs):
-        it = prefetch_to_device(
-            batch_iterator((frames, kp2d, kp3d), cfg.batch_size, shuffle=True,
-                           seed=cfg.seed + epoch, epochs=1), mesh,
-        )
-        loss_acc, sums_acc, last = [], [], None
-        for i, (f, y1, y2) in enumerate(it):
-            state, m = step(state, f, y1, y2,
-                            jax.random.key(epoch * 7919 + i))
-            loss_acc.append(m["loss"])
-            sums_acc.append(m["mpjpe_sums"])
-            last = m["loss"]
-        state = loop_plateau_step(state, last)
+    try:
+      for epoch in range(cfg.n_epochs):
+          it = prefetch_to_device(
+              batch_iterator((frames, kp2d, kp3d), cfg.batch_size, shuffle=True,
+                             seed=cfg.seed + epoch, epochs=1), mesh,
+          )
+          loss_acc, sums_acc, term_acc, last = [], [], [], None
+          for i, (f, y1, y2) in enumerate(it):
+              state, m = step(state, f, y1, y2,
+                              jax.random.key(epoch * 7919 + i))
+              loss_acc.append(m["loss"])
+              sums_acc.append(m["mpjpe_sums"])
+              term_acc.append({k: v for k, v in m.items()
+                               if k.startswith("loss_")})
+              last = m["loss"]
+          state = loop_plateau_step(state, last)
 
-        vit = prefetch_to_device(
-            batch_iterator((vframes, vkp2d, vkp3d), cfg.batch_size,
-                           shuffle=False, epochs=1), mesh,
-        )
-        vloss, vsums, n_val = [], [], 0
-        for f, y1, y2 in vit:
-            vm = eval_step(state, f, y1, y2)
-            vloss.append(vm["loss"])
-            vsums.append(vm["mpjpe_sums"])
-            n_val += f.shape[0]
+          vit = prefetch_to_device(
+              batch_iterator((vframes, vkp2d, vkp3d), cfg.batch_size,
+                             shuffle=False, epochs=1), mesh,
+          )
+          vloss, vsums, n_val = [], [], 0
+          for f, y1, y2 in vit:
+              vm = eval_step(state, f, y1, y2)
+              vloss.append(vm["loss"])
+              vsums.append(vm["mpjpe_sums"])
+              n_val += f.shape[0]
 
-        logger.log_epoch(
-            epoch, cfg.n_epochs,
-            float(jnp.mean(jnp.stack(loss_acc))),
-            float(losses.mpjpe_mm(jnp.sum(jnp.stack(sums_acc), 0), n_train)),
-            float(jnp.mean(jnp.stack(vloss))),
-            float(losses.mpjpe_mm(jnp.sum(jnp.stack(vsums), 0), n_val)),
-            lr=float(state.net3d.plateau.lr),
-        )
+          # per-term averages (reference TriangleLoss.report_losses,
+          # losses.py:55-62) ride along in the JSONL record
+          terms = {k: float(jnp.mean(jnp.stack([t[k] for t in term_acc])))
+                   for k in term_acc[0]} if term_acc else {}
+          logger.log_epoch(
+              epoch, cfg.n_epochs,
+              float(jnp.mean(jnp.stack(loss_acc))),
+              float(losses.mpjpe_mm(jnp.sum(jnp.stack(sums_acc), 0), n_train)),
+              float(jnp.mean(jnp.stack(vloss))),
+              float(losses.mpjpe_mm(jnp.sum(jnp.stack(vsums), 0), n_val)),
+              lr=float(state.net3d.plateau.lr), **terms,
+          )
+
+    except KeyboardInterrupt:
+        ckpt.save(state.net2d, cfg.log_dir, "interrupt_" + cfg.run_name + "_2d",
+                  batch_size=cfg.batch_size)
+        ckpt.save(state.net3d, cfg.log_dir, "interrupt_" + cfg.run_name + "_3d",
+                  batch_size=cfg.batch_size)
+        print("interrupted; saved interrupt checkpoints")
+        raise
 
     p2 = ckpt.save(state.net2d, cfg.log_dir, cfg.run_name + "_2d",
                    batch_size=cfg.batch_size)

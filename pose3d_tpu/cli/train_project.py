@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pose3d_tpu import losses
 from pose3d_tpu.config import LiftConfig, parse_config
 from pose3d_tpu.cli.train_lift import load_split
 from pose3d_tpu.models.lifters import JointTransformerLifter

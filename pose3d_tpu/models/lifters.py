@@ -31,8 +31,6 @@ come for free from GSPMD (SURVEY.md section 2.7).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -20,8 +20,6 @@ checkpoint exists locally (this image has no torchvision / no egress).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

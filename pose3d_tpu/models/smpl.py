@@ -23,7 +23,6 @@ for tests/CI.
 from __future__ import annotations
 
 import dataclasses
-import pathlib
 
 import jax.numpy as jnp
 import numpy as np

@@ -22,8 +22,6 @@ exact (0.0 max diff in f32).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,8 +13,6 @@ round-trips via :func:`iter_frames`.
 from __future__ import annotations
 
 import pathlib
-import shutil
-import subprocess
 
 import cv2
 import numpy as np

@@ -21,7 +21,6 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from pose3d_tpu import losses
 from pose3d_tpu.core.transforms import flip_pose

@@ -29,6 +29,11 @@ import jax.numpy as jnp
 class _MHSA(nn.Module):
     dim: int
     heads: int
+    # use the stock Pallas flash-attention kernel (jax.experimental.pallas.
+    # ops.tpu.flash_attention) instead of materializing the (L,L) score
+    # matrix — worthwhile for long temporal windows (L >~ 512); requires a
+    # TPU backend and L to be block-aligned.
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,9 +47,16 @@ class _MHSA(nn.Module):
             return t.reshape(n, l, self.heads, d).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        attn = jnp.einsum("nhld,nhmd->nhlm", q, k) * (d ** -0.5)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("nhlm,nhmd->nhld", attn, v)
+        if self.flash and jax.default_backend() == "tpu":
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(q, k, v, sm_scale=d ** -0.5)
+        else:
+            attn = jnp.einsum("nhld,nhmd->nhlm", q, k) * (d ** -0.5)
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("nhlm,nhmd->nhld", attn, v)
         n, _, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype)(out)
@@ -64,10 +76,12 @@ class _MLP(nn.Module):
 
 class SpatioTemporalBlock(nn.Module):
     """One ST block: joint attention within frames, then time attention per
-    joint; pre-LN residual throughout."""
+    joint; pre-LN residual throughout. ``flash`` applies to the temporal
+    attention only (17-token spatial attention is too small to tile)."""
 
     dim: int
     heads: int
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,7 +98,8 @@ class SpatioTemporalBlock(nn.Module):
         x = xs.reshape(b, t, j, c)
         # temporal: tokens = frames, batch = B*J
         xt = x.transpose(0, 2, 1, 3).reshape(b * j, t, c)
-        xt = xt + _MHSA(self.dim, self.heads, dtype=self.dtype)(
+        xt = xt + _MHSA(self.dim, self.heads, flash=self.flash,
+                        dtype=self.dtype)(
             nn.LayerNorm(dtype=self.dtype)(xt)
         )
         xt = xt + _MLP(self.dim, dtype=self.dtype)(
@@ -104,6 +119,7 @@ class TemporalLifter(nn.Module):
     n_blocks: int = 5
     heads: int = 8
     remat: bool = False
+    flash: bool = False  # Pallas flash attention for the temporal branch
     # Sequence parallelism (long clips): a PartitionSpec-style tuple for the
     # (B, T, J, C) activations, e.g. ("data", "seq", None, None). Applied as
     # GSPMD sharding constraints after the embedding and between blocks; XLA
@@ -140,7 +156,8 @@ class TemporalLifter(nn.Module):
         )
         for _ in range(self.n_blocks):
             x = self._constrain(
-                block_cls(self.hidden, self.heads, dtype=self.dtype)(x)
+                block_cls(self.hidden, self.heads, flash=self.flash,
+                          dtype=self.dtype)(x)
             )
         x = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.hidden // 2, dtype=self.dtype)(x)

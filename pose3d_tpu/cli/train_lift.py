@@ -145,11 +145,10 @@ def _save_visualizations(cfg: LiftConfig, state, vy1, vy2):
     """End-of-run GT-vs-pred renders (train_1.py:159-184 convention:
     first/last validation samples into logs/visualizations/<run>/)."""
     try:
+        from pose3d_tpu.train.steps import _apply
         from pose3d_tpu.utils.visualize import visualize_3d
 
-        pred, _ = __import__("pose3d_tpu.train.steps", fromlist=["_apply"])._apply(
-            state, state.params, vy1[0], train=False
-        )
+        pred, _ = _apply(state, state.params, vy1[0], train=False)
         pred = np.asarray(pred).reshape(-1, vy2.shape[-2], 3)
         gt = np.asarray(vy2[0])
         out_dir = pathlib.Path(cfg.log_dir) / "visualizations" / cfg.run_name

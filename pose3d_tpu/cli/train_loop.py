@@ -60,11 +60,13 @@ def load_frames_split(cfg: LoopConfig, is_train: bool):
         dcfg = DirectConfig(log_dir=cfg.log_dir, image_size=cfg.image_size,
                             data=d)
         frames, kp3d, _ = load_image_split(dcfg, is_train)
-        # 2D targets from the h36m reader
-        subjects = d.train_subjects if is_train else d.test_subjects
+        # 2D targets must come from the SAME subjects/ordering as the frames
+        # (load_image_split uses the S1/S11 convention of train_3.py:41-42)
+        subjects = ("S1",) if is_train else ("S11",)
         kp2d, _, _, _ = h36m.read_data(d.data_dir, subjects, d.action)
         if d.split_rate:
             kp2d = kp2d[::d.split_rate]
+        assert len(kp2d) >= len(frames), (len(kp2d), len(frames))
         return frames, kp2d[: len(frames)], kp3d
     n = d.synthetic_frames if is_train else max(d.synthetic_frames // 4, 8)
     kp2d, kp3d = synthetic.synthetic_h36m(n, seed=0 if is_train else 1)

@@ -306,3 +306,55 @@ class TestBones:
         norms = np.linalg.norm(np.asarray(dirs[:, 1:]), axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-4)
         assert float(lens[:, 1:].min()) > 0
+
+
+class TestIKRobustness:
+    def test_degenerate_all_zero_skeleton(self, model):
+        """An all-zero predicted skeleton must not produce NaNs (epsilons in
+        every normalization, identity fallback in the zero-mask SVD)."""
+        betas = jnp.zeros((1, 10))
+        rest29 = _rest29(model, betas)
+        target = jnp.zeros_like(rest29)
+        phis = jnp.concatenate([jnp.ones((1, 23, 1)), jnp.zeros((1, 23, 1))], -1)
+        for train in (False, True):
+            rots, _ = ik.inverse_kinematics(target, phis, rest29, train=train)
+            assert bool(jnp.all(jnp.isfinite(rots))), f"train={train}"
+
+    def test_extreme_twist_angles(self, model, rng):
+        betas = jnp.zeros((1, 10))
+        rest29 = _rest29(model, betas)
+        aa = 0.2 * rng.standard_normal((1, 24, 3)).astype(np.float32)
+        target = _fk29(smpl.batch_rodrigues(jnp.asarray(aa)), rest29)
+        # phi = pi (cos=-1): full half-turn twists
+        phis = jnp.concatenate([-jnp.ones((1, 23, 1)), jnp.zeros((1, 23, 1))], -1)
+        rots, _ = ik.inverse_kinematics(target, phis, rest29)
+        assert bool(jnp.all(jnp.isfinite(rots)))
+        # rotations stay orthonormal
+        rtr = np.asarray(rots @ jnp.swapaxes(rots, -1, -2))
+        np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape),
+                                   atol=1e-3)
+
+    def test_unnormalized_phis_are_normalized(self, model, rng):
+        """The reference normalizes phis internally (lbs.py:612) — scaling
+        them must not change the result."""
+        betas = jnp.zeros((1, 10))
+        rest29 = _rest29(model, betas)
+        aa = 0.2 * rng.standard_normal((1, 24, 3)).astype(np.float32)
+        target = _fk29(smpl.batch_rodrigues(jnp.asarray(aa)), rest29)
+        phis = jnp.asarray(rng.standard_normal((1, 23, 2)).astype(np.float32))
+        r1, _ = ik.inverse_kinematics(target, phis, rest29)
+        r2, _ = ik.inverse_kinematics(target, phis * 7.3, rest29)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+    def test_eval_clamp_activates_on_outliers(self, model, rng):
+        """Perturbing one joint far off its bone direction: the eval path's
+        15mm clamp keeps the child bone near the observed relative bone."""
+        betas = jnp.zeros((1, 10))
+        rest29 = _rest29(model, betas)
+        aa = 0.1 * rng.standard_normal((1, 24, 3)).astype(np.float32)
+        target = _fk29(smpl.batch_rodrigues(jnp.asarray(aa)), rest29)
+        # corrupt a mid-chain joint by 10 cm
+        corrupted = target.at[0, 4].add(jnp.asarray([0.1, 0.0, 0.0]))
+        phis = jnp.concatenate([jnp.ones((1, 23, 1)), jnp.zeros((1, 23, 1))], -1)
+        rots, _ = ik.inverse_kinematics(corrupted, phis, rest29, train=False)
+        assert bool(jnp.all(jnp.isfinite(rots)))

@@ -141,3 +141,38 @@ class TestHybrIKPoseEndToEnd:
 
         out = fwd(variables, x, *_cam_args(b))
         assert out.shape == (b, 51)
+
+
+class TestHybrIKTraining:
+    def test_train_step_reduces_loss(self, assembly, rng):
+        import optax
+
+        from pose3d_tpu.train.smpl_steps import make_hybrik_train_step
+        from pose3d_tpu.train.state import TrainState, make_optimizer
+        from pose3d_tpu.train.schedule import plateau_init
+
+        b = 4
+        frames = jnp.asarray(rng.random((b, 64, 64, 3)).astype(np.float32))
+        cam = _cam_args(b)
+        uvd_gt = jnp.asarray(
+            rng.uniform(-0.4, 0.4, (b, 29, 3)).astype(np.float32))
+        xyz_gt = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (b, 17, 3)).astype(np.float32))
+
+        variables = assembly.init(jax.random.key(0), frames)
+        tx = make_optimizer(3e-4, "adam")
+        state = TrainState(
+            step=jnp.asarray(0), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            plateau=plateau_init(3e-4), tx=tx, apply_fn=None,
+        )
+        step = make_hybrik_train_step(assembly, donate=False)
+        losses_seen = []
+        for i in range(16):
+            # fixed dropout key: isolates optimization progress from noise
+            state, m = step(state, frames, cam, uvd_gt, xyz_gt,
+                            jax.random.key(7))
+            losses_seen.append(float(m["loss"]))
+            assert np.isfinite(losses_seen[-1])
+        assert np.mean(losses_seen[-4:]) < np.mean(losses_seen[:4]), losses_seen

@@ -132,3 +132,35 @@ class TestEndToEnd:
         assert (root / "MB_npy" / f"{video}.npy").exists()
         loaded = kp_lib.load_mb_npy(root / "MB_npy" / f"{video}.npy")
         np.testing.assert_allclose(loaded, poses, atol=1e-6)
+
+
+class TestNativeDetector:
+    def test_posenet2d_detector_end_to_end(self, synthetic_video, tmp_path):
+        """The native TPU detector branch: frames -> H36M-ordered detections
+        -> merged JSON with already_h36m semantics."""
+        import jax
+        import jax.numpy as jnp
+
+        from pose3d_tpu.models.heads import PoseNet2D
+        from pose3d_tpu.pipeline.detector import PoseNet2DDetector
+        from pose3d_tpu.train.state import create_train_state
+
+        root, video = synthetic_video
+        frames_dir = tmp_path / "fr"
+        video_lib.extract_frames(root / "raw_videos" / video, frames_dir,
+                                 fps=100)
+        model = PoseNet2D(architecture="resnet18")
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), lr=1e-3,
+        )
+        det = PoseNet2DDetector(state, image_size=64, batch_size=4)
+        jsons = tmp_path / "jsons"
+        det.detect_dir(frames_dir, jsons)
+        assert len(list(jsons.glob("*.predictions.json"))) == 12
+
+        records = kp_lib.save_to_json(jsons, tmp_path / "final.json",
+                                      already_h36m=True)
+        kp = np.asarray(records[0]["keypoints"])
+        assert kp.shape == (17, 3)
+        # coords came out of a [0,1] soft-argmax scaled x1000 px
+        assert 0 <= kp[:, :2].min() and kp[:, :2].max() <= 1000

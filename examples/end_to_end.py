@@ -1,0 +1,132 @@
+"""End-to-end walkthrough: every capability of the framework in one script.
+
+Runs hermetically (synthetic data, mock detector) on CPU or TPU:
+  1. train a phase-1 lifter          (reference: phase1 train_1.py)
+  2. train the projector             (reference: phase5 train_project.py)
+  3. phase-5 consistency loop        (reference: phase5 train_5.py)
+  4. direct image->3D                (reference: phase3 train_3.py)
+  5. temporal sequence lifter        (reference: external MotionBERT)
+  6. video -> keypoints -> 3D        (reference: phase2 run.py)
+  7. serve the lifter                (new: production serving path)
+
+Usage:  python examples/end_to_end.py [--cpu] [--workdir DIR]
+"""
+
+import argparse
+import pathlib
+import sys
+import tempfile
+
+import numpy as np
+
+# allow running straight from a checkout: examples/.. is the repo root
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (fast smoke)")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    work = pathlib.Path(args.workdir or tempfile.mkdtemp(prefix="tpu_pose_"))
+    logs = str(work / "logs")
+    print(f"== workdir {work}, backend {jax.default_backend()} ==")
+
+    from pose3d_tpu.config import DataConfig, LiftConfig, LoopConfig
+
+    data = DataConfig(synthetic_frames=2048)
+
+    print("\n[1/7] phase-1 lifter")
+    from pose3d_tpu.cli.train_lift import train as train_lift
+
+    lift_state = train_lift(LiftConfig(
+        n_epochs=3, batch_size=128, run_name="lifter", log_dir=logs, data=data,
+    ))
+
+    print("\n[2/7] projector")
+    from pose3d_tpu.cli.train_project import train as train_project
+
+    train_project(LiftConfig(
+        n_epochs=2, batch_size=128, run_name="projector", log_dir=logs,
+        data=data,
+    ))
+
+    print("\n[3/7] phase-5 consistency loop (triangle + flip + project)")
+    from pose3d_tpu.cli.train_loop import train as train_loop
+
+    train_loop(LoopConfig(
+        n_epochs=1, batch_size=8, run_name="loop", log_dir=logs,
+        architecture="resnet18", image_size=64, bf16=False,
+        triangle=True, flip=True, project=True,
+        lifter_checkpoint="lifter", projector_checkpoint="projector",
+        data=DataConfig(synthetic_frames=64),
+    ))
+
+    print("\n[4/7] direct image->3D (phase 3)")
+    from pose3d_tpu.cli.train_direct import infer, train as train_direct
+    from pose3d_tpu.config import DirectConfig
+
+    dcfg = DirectConfig(
+        architecture="resnet18", n_epochs=2, batch_size=16, chunk_steps=2,
+        run_name="direct", log_dir=logs, image_size=64, bf16=False,
+        data=DataConfig(synthetic_frames=128),
+    )
+    train_direct(dcfg)
+    infer(dcfg)
+
+    print("\n[5/7] temporal sequence lifter (243-frame capability, small here)")
+    from pose3d_tpu.cli.train_temporal import train as train_temporal
+    from pose3d_tpu.config import TemporalConfig
+
+    train_temporal(TemporalConfig(
+        clip_len=16, hidden=64, n_blocks=2, heads=4, batch_size=8,
+        n_epochs=2, run_name="temporal", log_dir=logs,
+        data=DataConfig(synthetic_frames=512),
+    ))
+
+    print("\n[6/7] video -> keypoints -> 3D pipeline")
+    from pose3d_tpu.pipeline.detector import MockDetector
+    from pose3d_tpu.pipeline.run import process_video
+    from pose3d_tpu.pipeline.video import write_video
+    from pose3d_tpu.models.temporal import TemporalLifter
+    from pose3d_tpu.train import checkpoint as ckpt
+    from pose3d_tpu.train.state import create_train_state
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    (work / "videos" / "raw_videos").mkdir(parents=True, exist_ok=True)
+    write_video(iter((rng.random((20, 64, 64, 3)) * 255).astype(np.uint8)),
+                work / "videos" / "raw_videos" / "demo.mp4", fps=10)
+    lifter = TemporalLifter(clip_len=16, hidden=64, n_blocks=2, heads=4)
+    tstate = create_train_state(lifter, jax.random.key(0),
+                                jnp.zeros((1, 16, 17, 2)), lr=1e-3)
+    tstate, _ = ckpt.restore(tstate, logs, "temporal")
+    poses = process_video("demo.mp4", work / "videos", MockDetector(),
+                          lifter, tstate.params, fps=100)
+    print(f"pipeline output: {poses.shape} ->",
+          work / "videos" / "MB_npy" / "demo.mp4.npy")
+
+    print("\n[7/7] serving")
+    from pose3d_tpu.models.lifters import JointTransformerLifter
+    from pose3d_tpu.serving import LifterService
+    from pose3d_tpu.train.checkpoint import restore_params
+
+    model = JointTransformerLifter()
+    template = model.init({"params": jax.random.key(0)},
+                          jnp.zeros((1, 17, 2)), train=False)["params"]
+    params = restore_params(logs, "lifter", template)
+    svc = LifterService(model, params, max_batch=512, min_bucket=64)
+    out = svc.lift(rng.random((300, 17, 2)).astype(np.float32))
+    print(f"served {out.shape}; all artifacts under {work}")
+    print("\n== DONE ==")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,7 +105,14 @@ class MartinezLifter(nn.Module):
 class AELifter(nn.Module):
     """Autoencoder lifter — the reference ``AE``'s active encoder2/decoder2
     path (baselineModel.py:186-215): Flatten -> [Dense(1024) BN ReLU Drop]x2
-    -> Dense(1024) BN ReLU Drop -> Dense(out); Tanh when out is 2D."""
+    -> Dense(1024) BN ReLU Drop -> Dense(out).
+
+    Latent reference bug, documented not reproduced: the final Tanh
+    (baselineModel.py:208,213-214) is DEAD CODE — the guard compares
+    ``self.output_dim == 2`` after ``output_dim *= n_joints`` (34 != 2), so
+    no trained reference AE ever applies it. Proven by the weight-transplant
+    parity test (tests/test_reference_parity.py::test_ae_2d_output_no_tanh).
+    """
 
     in_dim: int = 34
     out_dim: int = 51
@@ -125,8 +132,6 @@ class AELifter(nn.Module):
             y = nn.relu(y)
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.out_dim, dtype=self.dtype)(y)
-        if self.out_dim % 3 != 0 or self.out_dim // 17 == 2:
-            y = nn.tanh(y)
         return y.astype(jnp.float32)
 
 

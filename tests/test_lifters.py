@@ -105,10 +105,15 @@ class TestJointTransformer:
 
 
 class TestAE:
-    def test_output_shape_and_tanh(self):
+    def test_output_shape(self):
         x = jnp.zeros((4, 17, 2))
         out, _ = _init_and_apply(AELifter(), x)
         assert out.shape == (4, 51)
-        # 2D-output config applies tanh => bounded
-        out2, _ = _init_and_apply(AELifter(in_dim=51, out_dim=34), jnp.ones((4, 17, 3)))
-        assert bool(jnp.all(jnp.abs(out2) <= 1.0))
+        # NO tanh on any output config: the reference's final Tanh
+        # (baselineModel.py:213-214) is dead code — it compares the
+        # already-multiplied output_dim (34) against 2. Verified against the
+        # real module in test_reference_parity.py.
+        out2, _ = _init_and_apply(
+            AELifter(in_dim=51, out_dim=34), jnp.ones((4, 17, 3))
+        )
+        assert out2.shape == (4, 34)

@@ -106,7 +106,7 @@ def train(cfg: LoopConfig):
 
     step = make_loop_train_step(
         lifter.apply, projector.apply, triangle=cfg.triangle, flip=cfg.flip,
-        project=cfg.project,
+        project=cfg.project, triangle_mode=cfg.triangle_mode,
     )
     eval_step = make_loop_eval_step(flip=cfg.flip)
     logger = MetricLogger(cfg.log_dir, cfg.run_name, config={

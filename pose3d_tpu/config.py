@@ -85,6 +85,7 @@ class LoopConfig:
     """Phase-5 consistency-loop config (train_5.py:342-374)."""
 
     triangle: bool = False
+    triangle_mode: str = "sep"       # sep (TriangleLoss_sep) | cycle (TriangleLoss)
     flip: bool = False
     project: bool = False
     batch_size: int = 64

@@ -67,6 +67,12 @@ def triangle_loss(pred_2d, pred_3d, lift_of_pred2d, gt_2d, gt_3d,
 
     Returns (total, dict of per-term values). The lift term couples the two
     predictions: L1(lift(pred2d), pred3d) (losses.py:30).
+
+    Deliberate divergence, documented not reproduced: the reference's proj
+    term "centres" by subtracting the FIRST BATCH ELEMENT
+    (``proj_3d_pred[1:] -= proj_3d_pred[0]``, losses.py:35-38 — dim 0 is the
+    batch, so sample 0 becomes everyone's reference). Here both sides are
+    root-joint-centred instead, which is the evident intent.
     """
     terms = {
         "loss_2d": l1(pred_2d, gt_2d),

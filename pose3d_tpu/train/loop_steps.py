@@ -46,10 +46,19 @@ def make_loop_train_step(
     lifter_apply: Optional[Callable] = None,
     projector_apply: Optional[Callable] = None,
     *, triangle: bool = False, flip: bool = False, project: bool = False,
-    donate: bool = True,
+    triangle_mode: str = "sep", donate: bool = True,
 ):
     """(LoopState, frames, y1 (B,17,2), y2 (B,17,3), rng) ->
-    (LoopState, metrics)."""
+    (LoopState, metrics).
+
+    ``triangle_mode``: "sep" -> supervised ``TriangleLoss_sep``
+    (phase5_loop/losses.py:65-118, the committed train_5.py default);
+    "cycle" -> unsupervised-coupling ``TriangleLoss`` (losses.py:10-62),
+    whose lift term ties the two predictions together:
+    L1(lift(pred2d), pred3d) (losses.py:30).
+    """
+    if triangle_mode not in ("sep", "cycle"):
+        raise ValueError(f"triangle_mode must be sep|cycle, got {triangle_mode}")
 
     def forward_all(state: LoopState, p2d, p3d, frames, rng):
         """2D + 3D predictions, optionally flip-averaged in one 2x batch."""
@@ -82,21 +91,28 @@ def make_loop_train_step(
                 lift_pred = lifter_apply(
                     {"params": state.lifter_params}, y1_hat, train=False
                 ).reshape(y2.shape)
-                lift_gt = lifter_apply(
-                    {"params": state.lifter_params}, y1, train=False
-                ).reshape(y2.shape)
                 proj_pred = proj_gt = None
                 if project and projector_apply is not None:
                     proj_pred = projector_apply(
                         {"params": state.projector_params}, y2_hat, train=False
                     ).reshape(y1.shape)
-                    proj_gt = projector_apply(
-                        {"params": state.projector_params}, y2, train=False
-                    ).reshape(y1.shape)
-                total, terms = losses.triangle_loss_sep(
-                    y1_hat, y2_hat, lift_gt, lift_pred, y1, y2,
-                    proj_pred, proj_gt,
-                )
+                if triangle_mode == "cycle":
+                    total, terms = losses.triangle_loss(
+                        y1_hat, y2_hat, lift_pred, y1, y2, proj_pred,
+                    )
+                else:
+                    lift_gt = lifter_apply(
+                        {"params": state.lifter_params}, y1, train=False
+                    ).reshape(y2.shape)
+                    if project and projector_apply is not None:
+                        proj_gt = projector_apply(
+                            {"params": state.projector_params}, y2,
+                            train=False,
+                        ).reshape(y1.shape)
+                    total, terms = losses.triangle_loss_sep(
+                        y1_hat, y2_hat, lift_gt, lift_pred, y1, y2,
+                        proj_pred, proj_gt,
+                    )
             else:
                 terms = {
                     "loss_2d": losses.mse(y1_hat, y1),

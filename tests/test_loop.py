@@ -74,6 +74,29 @@ class TestLoopStep:
             state.lifter_params, new_state.lifter_params)
         assert all(jax.tree_util.tree_leaves(same))
 
+    def test_triangle_cycle_mode(self, setup):
+        """The unsupervised cycle variant (reference TriangleLoss,
+        phase5_loop/losses.py:10-62): lift term couples the predictions,
+        no domain-gap terms; loss decreases over a few steps."""
+        state, lifter, projector, frames, kp2d, kp3d = setup
+        step = make_loop_train_step(
+            lifter.apply, projector.apply, triangle=True, project=True,
+            triangle_mode="cycle", donate=False,
+        )
+        s, m0 = step(state, frames, kp2d, kp3d, jax.random.key(0))
+        # cycle-mode term set: lift couples predictions; NO gap terms
+        assert {"loss_2d", "loss_3d", "loss_lift", "loss_proj"} <= set(m0)
+        assert "loss_domain_gap" not in m0 and "loss_gap_proj" not in m0
+        losses = [float(m0["loss"])]
+        for i in range(1, 6):
+            s, m = step(s, frames, kp2d, kp3d, jax.random.key(i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_triangle_mode_validation(self):
+        with pytest.raises(ValueError):
+            make_loop_train_step(triangle_mode="nope")
+
     def test_eval_step_flip(self, setup):
         state, _, _, frames, kp2d, kp3d = setup
         ev = make_loop_eval_step(flip=True)

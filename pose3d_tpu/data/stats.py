@@ -5,8 +5,11 @@ Reference contract (phase3_direct/my_HybrIK/H36_dataset.py:205-259):
 - the squared-deviation accumulator starts as a float64 zeros buffer and each
   float32 squared diff is added to it, so **std comes out float64** while mean
   stays float32 (this f32/f64 mix is visible in the committed
-  phase1_lifting/{mean,std}_train_{2d,3d}.npy artifacts and is reproduced
-  bit-for-bit here);
+  phase1_lifting/{mean,std}_train_{2d,3d}.npy artifacts). The mean and the
+  dtype contract are reproduced bit-for-bit; the std sums the identical f64
+  terms but with numpy's vectorized pairwise order instead of the reference's
+  frame-by-frame loop, so values agree to f64 rounding order (tested at
+  rtol 1e-10, typically < 1e-14) rather than bit-for-bit;
 - ``max_train_3d``/``min_train_3d`` are computed then immediately overridden
   to +-1 (H36_dataset.py:236-243) — reproduced;
 - train split computes-and-saves, eval split loads (file layout
@@ -34,9 +37,10 @@ class NormStats:
 def compute_stats(dataset: np.ndarray) -> NormStats:
     """Mean/std over frames of a (N, J, D) array, reference numerics.
 
-    Mean: float32 accumulation (np.sum over a float32 array stays float32).
-    Std: biased (divide by N, not N-1), float64 accumulation of float32
-    squared deviations — matching H36_dataset.py:214-222.
+    Mean: float32 accumulation (np.sum over a float32 array stays float32),
+    bit-equal to the reference. Std: biased (divide by N, not N-1), float64
+    accumulation of float32 squared deviations — same terms as
+    H36_dataset.py:214-222 but pairwise-summed (see module docstring).
     """
     n_frames, n_joints, dim = dataset.shape
     data_mean = np.sum(dataset, axis=0) / n_frames

@@ -82,21 +82,22 @@ class PoseNet3D(nn.Module):
         if not self.return_heatmap:
             if (self.use_pallas and not train
                     and jax.default_backend() == "tpu"):
-                # inference: fused single-pass decode kernel (2.4x XLA fwd)
+                # inference: fused transpose-free decode straight off the
+                # NHWC conv output (single VMEM pass; a fused Pallas backward
+                # exists too, but measured end-to-end the training step is
+                # MXU-bound and XLA's fused NHWC decode edges it out by ~3 ms
+                # at B=64 — see ROUND2_NOTES "decode" experiments)
                 from pose3d_tpu.ops.pallas_softargmax import (
-                    soft_argmax_3d_pallas,
+                    soft_argmax_3d_nhwc_pallas,
                 )
 
-                lg = logits.transpose(0, 3, 1, 2).reshape(
-                    b, self.num_joints, self.depth, h, w
-                )
-                coords = soft_argmax_3d_pallas(
-                    lg, self.num_joints, self.depth, h, w,
+                coords = soft_argmax_3d_nhwc_pallas(
+                    logits, self.num_joints, self.depth,
                     z_scale=self.z_scale,
                 )
                 return coords, None
-            # training fast path: decode straight from NHWC (no 1GB-scale
-            # layout transpose in forward/backward)
+            # training path: decode straight from NHWC (no 1GB-scale layout
+            # transpose in forward/backward; XLA fuses it into the step)
             from pose3d_tpu.ops.heatmap import soft_argmax_3d_nhwc
 
             coords = soft_argmax_3d_nhwc(

@@ -1,0 +1,257 @@
+"""Pallas TPU megakernel: the whole JointTransformerLifter trunk in VMEM.
+
+Why (measured, ROUND2_NOTES): the benched lifter forward (B=8192, 17 joint
+tokens, dim 256, 2 blocks — the reference MyViT architecture,
+/root/reference/phase1_lifting/baselineModel.py:312-362) runs at ~18.8 ms
+per iteration under plain XLA, ~13% MFU. Two structural taxes dominate:
+
+1. **Sublane padding**: every (B, 17, 256) activation tiles the trailing
+   (17, 256) as (32, 256) in bf16 — 1.9x HBM traffic on every tensor, and
+   the (B, H, 17, 17) attention scores pad to (32, 128) tiles — 7.5x.
+2. **Fusion breaks**: LN -> matmul -> split -> transpose -> batched tiny
+   matmul -> softmax -> ... each boundary round-trips HBM.
+
+This kernel removes both:
+
+- Tokens are FLATTENED to rows: every tensor is 2D (B*17, features) with
+  feature dims 256/768/1024 — perfectly lane-tiled, zero padding.
+- Both transformer blocks run inside ONE pallas_call; activations never
+  leave VMEM between the embed matmul and the output head.
+- Attention packs G=32 frames per head into a single (544, 64) x (64, 544)
+  MXU matmul; the block-diagonal mask (row//17 == col//17) makes the row
+  softmax exactly the per-frame softmax. ~G x FLOP waste on an op that is
+  <1% of model FLOPs buys full MXU utilization and no HBM scores.
+- Weights enter as kernel operands with a CONSTANT index_map, so Mosaic
+  fetches them once and keeps them resident across the whole grid.
+
+Embed (+PE) and the 256->128->3 head stay in XLA on the flat (B*17, .)
+layout: together they move <0.1 ms of HBM traffic and XLA fuses them fine.
+
+Inference-only by design (the training path trains the flax module with
+XLA; this kernel serves). Numerical contract: matmuls accumulate f32,
+LayerNorm/softmax in f32, activations bf16 — parity with the bf16 flax
+apply is ~1e-2 absolute on f32 outputs (same as any bf16 reassociation).
+
+Used by: bench.py (headline), serving.py. Parity test:
+tests/test_pallas_lifter.py (interpret mode on CPU + real kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_JOINTS = 17
+DIM = 256
+HEADS = 4
+DIM_HEAD = DIM // HEADS
+MLP = 4 * DIM
+# rows per grid cell: 32 frames x 17 tokens (multiple of the bf16 sublane
+# tile 16); attention packs all 32 frames (544 rows) in one masked matmul.
+# ROWS=1088 exceeds the 16MB scoped-VMEM budget (f32 MLP intermediates);
+# 544 fits with room for double-buffered in/out blocks.
+ROWS = 544
+PACK_ROWS = 544
+
+
+@dataclass(frozen=True)
+class LifterWeights:
+    """Flat bf16 weight bundle for the fused trunk (per-block tuples)."""
+
+    ln_a: tuple  # ((g, b), (g, b)) pre-attention LN (block outer LN)
+    ln_b: tuple  # ((g, b), (g, b)) the reference's double LN inside attn
+    w_qkv: tuple  # ((256, 768), ...)
+    w_proj: tuple  # ((256, 256), ...)
+    ln_2: tuple  # ((g, b), ...)
+    w_1: tuple  # ((256, 1024), ...)
+    b_1: tuple
+    w_2: tuple  # ((1024, 256), ...)
+    b_2: tuple
+
+
+def _ln(x, g, b):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation (max err 1.5e-7)
+    — Mosaic has no erf primitive, and 1.5e-7 is far below bf16 noise."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    # exact (erf-based) gelu, matching the reference's approximate=False
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + _erf(xf / np.sqrt(2.0)))).astype(x.dtype)
+
+
+def _packed_attention(qkv, mask):
+    """qkv (ROWS, 768) bf16 -> attention output (ROWS, 256) bf16.
+
+    Heads and 32-frame packs unrolled statically: scores for one pack are a
+    (544, 544) f32 MXU product masked to the 17x17 per-frame diagonal
+    blocks; the masked row softmax equals the per-frame softmax.
+    """
+    scale = DIM_HEAD ** -0.5
+    outs = []
+    for p in range(ROWS // PACK_ROWS):
+        r0 = p * PACK_ROWS
+        head_outs = []
+        for h in range(HEADS):
+            q = qkv[r0:r0 + PACK_ROWS, h * DIM_HEAD:(h + 1) * DIM_HEAD]
+            k = qkv[r0:r0 + PACK_ROWS,
+                    DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
+            v = qkv[r0:r0 + PACK_ROWS,
+                    2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(mask, s, -jnp.inf)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            a = e / jnp.sum(e, axis=-1, keepdims=True)
+            head_outs.append(
+                jax.lax.dot_general(
+                    a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(qkv.dtype)
+            )
+        outs.append(jnp.concatenate(head_outs, axis=-1))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    per = 9  # weight tensors per block
+    # PE-add lives in the kernel: pe_ref is the (ROWS, 256) table tiled to
+    # the 17-token period (ROWS % 17 == 0, so it aligns at every grid cell).
+    x = x_ref[...] + pe_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_ROWS, PACK_ROWS), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_ROWS, PACK_ROWS), 1)
+    mask = (rows // N_JOINTS) == (cols // N_JOINTS)
+    for blk in range(n_blocks):
+        (lna_g, lna_b, lnb_g, lnb_b, w_qkv, w_proj, ln2_g, ln2_b, w1) = (
+            wrefs[blk * per + i][...] for i in range(9))
+        b1 = wrefs[n_blocks * per + blk * 3 + 0][...]
+        w2 = wrefs[n_blocks * per + blk * 3 + 1][...]
+        b2 = wrefs[n_blocks * per + blk * 3 + 2][...]
+        y = _ln(x, lna_g[0], lna_b[0])
+        y = _ln(y, lnb_g[0], lnb_b[0])  # double-LN quirk (baselineModel.py)
+        qkv = jnp.dot(y, w_qkv, preferred_element_type=jnp.float32
+                      ).astype(x.dtype)
+        attn = _packed_attention(qkv, mask)
+        x = x + jnp.dot(attn, w_proj, preferred_element_type=jnp.float32
+                        ).astype(x.dtype)
+        y = _ln(x, ln2_g[0], ln2_b[0])
+        y = jnp.dot(y, w1, preferred_element_type=jnp.float32) + \
+            b1[0].astype(jnp.float32)
+        y = _gelu(y.astype(x.dtype))
+        x = x + (jnp.dot(y, w2, preferred_element_type=jnp.float32)
+                 + b2[0].astype(jnp.float32)).astype(x.dtype)
+    out_ref[...] = x
+
+
+def _const_spec(shape):
+    # whole-array block, same for every grid cell -> Mosaic fetches it once
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _trunk(tokens_flat, pe_rows, weights_flat, *, n_blocks, interpret):
+    n = tokens_flat.shape[0]
+    grid = (n // ROWS,)
+    in_specs = [pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                _const_spec((ROWS, DIM))]
+    in_specs += [_const_spec(w.shape) for w in weights_flat]
+    return pl.pallas_call(
+        functools.partial(_trunk_kernel, n_blocks=n_blocks),
+        out_shape=jax.ShapeDtypeStruct((n, DIM), tokens_flat.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tokens_flat, pe_rows, *weights_flat)
+
+
+def _v(g):
+    # (256,) vector params enter as (1, 256) so they tile on (sublane, lane)
+    return jnp.asarray(g, jnp.bfloat16).reshape(1, -1)
+
+
+def pack_weights(params) -> tuple:
+    """Flatten a JointTransformerLifter flax params tree (default config)
+    into the kernel operand list. Layout must match _trunk_kernel."""
+    mats, vecs = [], []
+    for blk in range(2):
+        b = params[f"TransformerBlock_{blk}"]
+        att = b["JointAttention_0"]
+        mats += [
+            _v(b["LayerNorm_0"]["scale"]), _v(b["LayerNorm_0"]["bias"]),
+            _v(att["LayerNorm_0"]["scale"]), _v(att["LayerNorm_0"]["bias"]),
+            jnp.asarray(att["Dense_0"]["kernel"], jnp.bfloat16),
+            jnp.asarray(att["Dense_1"]["kernel"], jnp.bfloat16),
+            _v(b["LayerNorm_1"]["scale"]), _v(b["LayerNorm_1"]["bias"]),
+            jnp.asarray(b["Dense_0"]["kernel"], jnp.bfloat16),
+        ]
+        vecs += [
+            _v(b["Dense_0"]["bias"]),
+            jnp.asarray(b["Dense_1"]["kernel"], jnp.bfloat16),
+            _v(b["Dense_1"]["bias"]),
+        ]
+    return tuple(mats + vecs)
+
+
+def lifter_forward_fused(params, kp2d, *, pe, interpret=False):
+    """Fused inference forward of the default JointTransformerLifter.
+
+    params: the flax params tree of ``JointTransformerLifter()`` (17 tokens,
+    dim 256, 2 blocks, no class token). kp2d: (B, 17, 2) f32, B a multiple
+    of ROWS//17 frames (pad the batch host-side otherwise). pe: the (17, 256)
+    positional embedding table (``sinusoidal_positional_embeddings``).
+    Returns (B, 17, 3) f32 — same contract as ``model.apply(..., train=False)``.
+    """
+    b = kp2d.shape[0]
+    if (b * N_JOINTS) % ROWS:
+        raise ValueError(f"batch {b} must be a multiple of {ROWS // N_JOINTS}")
+    x = kp2d.reshape(b * N_JOINTS, 2).astype(jnp.bfloat16)
+    w_e = jnp.asarray(params["Dense_0"]["kernel"], jnp.bfloat16)
+    b_e = jnp.asarray(params["Dense_0"]["bias"], jnp.bfloat16)
+    tokens = x @ w_e + b_e
+    # The PE-add happens INSIDE the kernel from a (ROWS, 256) tiled table.
+    # Adding it here via broadcast over a concrete pe would constant-fold
+    # into a (B*17, 256) embedded constant — 71 MB at B=8192, which the
+    # remote compiler rejects (ROUND2_NOTES env gotcha) — and cost an extra
+    # HBM pass besides.
+    pe_rows = jnp.tile(jnp.asarray(pe, jnp.bfloat16), (ROWS // N_JOINTS, 1))
+    tokens = _trunk(tokens, pe_rows, pack_weights(params), n_blocks=2,
+                    interpret=interpret)
+
+    w3 = jnp.asarray(params["Dense_1"]["kernel"], jnp.bfloat16)
+    b3 = jnp.asarray(params["Dense_1"]["bias"], jnp.bfloat16)
+    w4 = jnp.asarray(params["Dense_2"]["kernel"], jnp.bfloat16)
+    b4 = jnp.asarray(params["Dense_2"]["bias"], jnp.bfloat16)
+    y = jnp.maximum(tokens @ w3 + b3, 0)
+    y = (y @ w4 + b4).astype(jnp.float32)
+    return y.reshape(b, N_JOINTS, 3)

@@ -38,7 +38,10 @@ class LifterService:
             b *= 2
 
         fused = None
-        from pose3d_tpu.models.lifters import MartinezLifter
+        from pose3d_tpu.models.lifters import (
+            JointTransformerLifter,
+            MartinezLifter,
+        )
 
         if (use_fused_martinez and isinstance(model, MartinezLifter)
                 and self.batch_stats and jax.default_backend() == "tpu"):
@@ -53,6 +56,25 @@ class LifterService:
                 return martinez_infer_fused(fused_params, kp2d)
 
             fused = run
+
+        if (isinstance(model, JointTransformerLifter)
+                and model.n_joints == 17 and model.hidden == 256
+                and model.n_blocks == 2 and not model.class_token
+                and jax.default_backend() == "tpu"):
+            # whole-trunk VMEM megakernel: 2.5x the XLA apply at B=8192
+            # (ROUND2_NOTES); buckets are powers of two >= 64, all multiples
+            # of the kernel's 32-frame row tile
+            from pose3d_tpu.models.lifters import (
+                sinusoidal_positional_embeddings,
+            )
+            from pose3d_tpu.ops.pallas_lifter import lifter_forward_fused
+
+            pe = sinusoidal_positional_embeddings(17, 256)
+
+            def run_vit(kp2d):
+                return lifter_forward_fused(params, kp2d, pe=pe)
+
+            fused = run_vit
 
         if fused is not None:
             self._fn = jax.jit(fused)

@@ -73,7 +73,8 @@ def make_direct_train_step(loss: str = "mse", heatmap_loss_weight: float = 0.0,
 
 def make_direct_chunk_step(loss: str = "mse",
                            heatmap_loss_weight: float = 0.0,
-                           donate: bool = True):
+                           donate: bool = True,
+                           unroll: bool | int = False):
     """Multi-batch step: (state, frames (K,B,H,W,3), kp3d (K,B,17,3), rng)
     -> (state, metrics summed/averaged over the K scanned batches).
 
@@ -81,6 +82,14 @@ def make_direct_chunk_step(loss: str = "mse",
     bound links (the tunneled-TPU environment serializes dependent python
     -level calls at ~30 ms each) and harmless locally. Frames may be uint8
     (normalized on device).
+
+    ``unroll``: forwarded to ``lax.scan``. Measured on the v5e
+    (ROUND2_NOTES, experiments/direct_step_bench2.py): rolled and unrolled
+    compile to the same step time for the R50+64^3 model — the step is
+    MXU-compute-bound, there is no scan-carry relayout tax (round 1's
+    contrary diagnosis was a mismeasurement). Kept as a knob because
+    unrolling can still help tiny models where per-iteration scan overhead
+    is visible; compile time grows with K.
     """
     loss_fn_ = LOSS_FNS[loss]
 
@@ -114,7 +123,7 @@ def make_direct_chunk_step(loss: str = "mse",
 
         rngs = jax.random.split(rng, k)
         state, (loss_k, mpjpe_k) = jax.lax.scan(
-            body, state, (frames, kp3d, rngs)
+            body, state, (frames, kp3d, rngs), unroll=unroll
         )
         return state, {
             "loss": jnp.mean(loss_k),

@@ -108,7 +108,7 @@ class TestTrainStep:
 class TestEpochMetric:
     def test_mpjpe_accumulation_convention(self):
         """Accumulate per-joint sums over an epoch then finalize: equals the
-        direct全batch computation."""
+        direct whole-batch computation."""
         kp2d, kp3d = _make_data(128)
         pred = kp3d + 0.01
         sums = np.zeros(17)

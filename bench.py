@@ -231,7 +231,9 @@ def cpu_reference_throughput() -> float:
 # --------------------------------------------------------------------------
 
 DIRECT_B = 64
-DIRECT_K1, DIRECT_K2 = 4, 8
+# K gap of 8 steps (~0.4 s) so the two-K delta clears the ~50 ms tunnel
+# jitter; K=4/8 measured 44-60 ms/step run-to-run, K=4/12 tightens that
+DIRECT_K1, DIRECT_K2 = 4, 12
 REF_1080TI_FPS = 500.0  # BASELINE.md: 6.3 s/epoch, 49 batches x 64 frames
 
 

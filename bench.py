@@ -329,6 +329,57 @@ def tpu_temporal_train_throughput():
     return TEMPORAL_B * t / per_step, _mfu_fields(fl, per_step)
 
 
+# --------------------------------------------------------------------------
+# 4. temporal-transformer inference (the video->3D serving path)
+# --------------------------------------------------------------------------
+
+TI_B = 16
+TI_K1, TI_K2 = 8, 24
+
+
+def tpu_temporal_infer_throughput():
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.models.temporal import TemporalLifter
+
+    rng = np.random.default_rng(0)
+    xla_model = TemporalLifter(dtype=jnp.bfloat16)
+    pallas_model = TemporalLifter(dtype=jnp.bfloat16, use_pallas=True)
+    t = xla_model.clip_len
+    x = jnp.asarray(rng.random((TI_B, t, 17, 2)).astype(np.float32))
+    params = xla_model.init({"params": jax.random.key(0)}, x)["params"]
+
+    def measure(model, label):
+        def chain(k):
+            def f(p, xx):
+                def body(kp, _):
+                    out = model.apply({"params": p}, kp)
+                    return kp + out[..., :2] * 1e-3, out[0, 0, 0, 0]
+
+                kp, s = jax.lax.scan(body, xx, None, length=k)
+                return kp, s[-1]
+
+            return jax.jit(f)
+
+        c1 = chain(TI_K1).lower(params, x).compile()
+        c2 = chain(TI_K2).lower(params, x).compile()
+
+        def fenced(c):
+            def run():
+                _, s = c(params, x)
+                return float(s)
+            return run
+
+        per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), TI_K1, TI_K2)
+        _log(f"temporal_infer[{label}]: {per_iter*1e3:.2f} ms/iter")
+        return per_iter
+
+    pallas_iter = measure(pallas_model, "pallas")
+    xla_iter = measure(xla_model, "xla")
+    return TI_B * t / pallas_iter, TI_B * t / xla_iter
+
+
 def main():
     tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
     _log(f"lifting: {tpu_fps:,.0f} frames/s/chip (fused Pallas trunk; "
@@ -369,6 +420,19 @@ def main():
     except Exception as e:  # noqa: BLE001
         _log(f"temporal train bench FAILED: {type(e).__name__}: {e}")
         extra["temporal_train"] = {"error": str(e)[:200]}
+    try:
+        ti_fps, ti_xla_fps = tpu_temporal_infer_throughput()
+        _log(f"temporal infer: {ti_fps:,.0f} frames/s "
+             f"(xla {ti_xla_fps:,.0f})")
+        extra["temporal_infer"] = {
+            "frames_per_s": round(ti_fps, 1),
+            "xla_apply_frames_per_s": round(ti_xla_fps, 1),
+            "vs_baseline": None,  # reference: external MotionBERT, no number
+            "config": "243-frame serving, packed-attention kernels, B=16 bf16",
+        }
+    except Exception as e:  # noqa: BLE001
+        _log(f"temporal infer bench FAILED: {type(e).__name__}: {e}")
+        extra["temporal_infer"] = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": "lifted frames/sec/chip (H3.6M 2D->3D)",

@@ -34,16 +34,44 @@ class _MHSA(nn.Module):
     # matrix — worthwhile for long temporal windows (L >~ 512); requires a
     # TPU backend and L to be block-aligned.
     flash: bool = False
+    # custom packed-attention Pallas kernels (ops/pallas_attention): the
+    # profile-measured fix for XLA's <1% MXU on this model's two attention
+    # shapes (seq 17 pads (17,17) scores to (32,128) tiles; seq 243
+    # round-trips f32 scores + head transposes through HBM). Forward runs
+    # the kernel, backward recomputes via XLA (custom_vjp), so the flag is
+    # training-safe. ROUND2_NOTES "temporal attention" section.
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (N, L, dim)
+        n, l, _ = x.shape
         d = self.dim // self.heads
-        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype)(x)
+        qkv_dense = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype)
+        proj_dense = nn.Dense(self.dim, dtype=self.dtype)
+        if self.use_pallas and jax.default_backend() == "tpu":
+            # FLAT-row formulation: (N*L, dim) tiles the (sublane, lane)
+            # grid exactly — (N, 17, dim) pads 17 -> 32 sublanes. Measured
+            # (ROUND2_NOTES): 1.6x on inference; but the reshape relayouts
+            # in the BACKWARD cost more than they save (57.5 -> 69 ms/step),
+            # so this branch is only taken with use_pallas.
+            from pose3d_tpu.ops.pallas_attention import (
+                packed_flat_attention,
+                seq_attention,
+            )
+
+            qkv_flat = qkv_dense(x.reshape(n * l, self.dim))
+            if l <= 64:
+                out = packed_flat_attention(qkv_flat, l, self.heads)
+            else:
+                out = seq_attention(
+                    qkv_flat.reshape(n, l, 3 * self.dim), self.heads
+                ).reshape(n * l, self.dim)
+            return proj_dense(out).reshape(n, l, self.dim)
+        qkv = qkv_dense(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
-            n, l, _ = t.shape
             return t.reshape(n, l, self.heads, d).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
@@ -55,11 +83,11 @@ class _MHSA(nn.Module):
             out = flash_attention(q, k, v, sm_scale=d ** -0.5)
         else:
             attn = jnp.einsum("nhld,nhmd->nhlm", q, k) * (d ** -0.5)
-            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.softmax(
+                attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             out = jnp.einsum("nhlm,nhmd->nhld", attn, v)
-        n, _, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(n, l, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype)(out)
+        return proj_dense(out)
 
 
 class _MLP(nn.Module):
@@ -82,6 +110,7 @@ class SpatioTemporalBlock(nn.Module):
     dim: int
     heads: int
     flash: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,7 +118,8 @@ class SpatioTemporalBlock(nn.Module):
         b, t, j, c = x.shape
         # spatial: tokens = joints, batch = B*T
         xs = x.reshape(b * t, j, c)
-        xs = xs + _MHSA(self.dim, self.heads, dtype=self.dtype)(
+        xs = xs + _MHSA(self.dim, self.heads, use_pallas=self.use_pallas,
+                        dtype=self.dtype)(
             nn.LayerNorm(dtype=self.dtype)(xs)
         )
         xs = xs + _MLP(self.dim, dtype=self.dtype)(
@@ -99,7 +129,7 @@ class SpatioTemporalBlock(nn.Module):
         # temporal: tokens = frames, batch = B*J
         xt = x.transpose(0, 2, 1, 3).reshape(b * j, t, c)
         xt = xt + _MHSA(self.dim, self.heads, flash=self.flash,
-                        dtype=self.dtype)(
+                        use_pallas=self.use_pallas, dtype=self.dtype)(
             nn.LayerNorm(dtype=self.dtype)(xt)
         )
         xt = xt + _MLP(self.dim, dtype=self.dtype)(
@@ -120,6 +150,7 @@ class TemporalLifter(nn.Module):
     heads: int = 8
     remat: bool = False
     flash: bool = False  # Pallas flash attention for the temporal branch
+    use_pallas: bool = False  # packed-attention kernels (both branches)
     # Sequence parallelism (long clips): a PartitionSpec-style tuple for the
     # (B, T, J, C) activations, e.g. ("data", "seq", None, None). Applied as
     # GSPMD sharding constraints after the embedding and between blocks; XLA
@@ -157,6 +188,7 @@ class TemporalLifter(nn.Module):
         for _ in range(self.n_blocks):
             x = self._constrain(
                 block_cls(self.hidden, self.heads, flash=self.flash,
+                          use_pallas=self.use_pallas,
                           dtype=self.dtype)(x)
             )
         x = nn.LayerNorm(dtype=self.dtype)(x)

@@ -8,3 +8,8 @@ from pose3d_tpu.ops.heatmap import (  # noqa: F401
     uvw_to_xyz,
     xyz_to_uvw,
 )
+from pose3d_tpu.ops.pallas_attention import (  # noqa: F401
+    packed_flat_attention,
+    seq_attention,
+)
+from pose3d_tpu.ops.pallas_lifter import lifter_forward_fused  # noqa: F401

@@ -1,0 +1,204 @@
+"""Pallas TPU kernels: multi-head self-attention for pose-token shapes.
+
+Why: the temporal lifter's profile (ROUND2_NOTES, experiments/
+temporal_profile.py) shows XLA attention running at <1% MXU on BOTH of its
+shapes — seq 17 (joints within a frame: scores pad (17,17)->(32,128) tiles,
+head-split transposes round-trip HBM) and seq 243 (frames per joint).
+Attention is 66% of temporal inference time while being ~1% of its FLOPs.
+
+Two kernels, both consuming the qkv projection in FLAT row layout (the
+Dense that produces qkv runs on (rows, 3*dim) — unpadded — in XLA):
+
+- ``packed_flat_attention``: small sequences. Rows (n_seqs*seq, 3*dim);
+  a grid cell packs G sequences into (G*seq, dh) slabs per head and runs
+  ONE masked (G*seq, G*seq) MXU matmul — the block-diagonal mask
+  (row//seq == col//seq) makes the row softmax exactly per-sequence
+  (same trick as ops/pallas_lifter, generalized over seq/heads).
+- ``seq_attention``: long sequences, one sequence per grid cell via a
+  (1, L, 3*dim) block; per-head (L, dh) matmuls in VMEM; Mosaic pads the
+  block's trailing dims to tiles internally (L need not be tile-aligned).
+
+Both are inference-fused and TRAINING-SAFE: a custom_vjp recomputes the
+backward with the plain-XLA formulation (exactly like
+ops/pallas_softargmax's legacy kernel) — forward gets the kernel, backward
+costs what it did before.
+
+Numerical contract: scores/softmax in f32, matmul accumulation f32,
+activations bf16 (or the input dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_attention_flat(qkv, seq, heads):
+    """Reference XLA formulation on flat rows (used for backward + CPU)."""
+    rows, three_dim = qkv.shape
+    dim = three_dim // 3
+    dh = dim // heads
+    n = rows // seq
+    q, k, v = jnp.split(qkv.reshape(n, seq, 3 * dim), 3, axis=-1)
+
+    def sh(t):
+        return t.reshape(n, seq, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = sh(q), sh(k), sh(v)
+    a = jnp.einsum("nhld,nhmd->nhlm", q, k) * (dh ** -0.5)
+    a = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    o = jnp.einsum("nhlm,nhmd->nhld", a, v)
+    return o.transpose(0, 2, 1, 3).reshape(rows, dim)
+
+
+def _rows_per_cell(seq: int) -> int:
+    """Smallest multiple of ``seq`` that is >=512 and sublane-aligned (16)
+    — M>=512 keeps the packed matmul MXU-efficient (4+ row tiles)."""
+    g = 1
+    while (g * seq) % 16 or g * seq < 512:
+        g += 1
+    return g * seq
+
+
+def _packed_kernel(qkv_ref, out_ref, *, seq, heads, dh, rows):
+    dim = heads * dh
+    qkv = qkv_ref[...]
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    mask = (r // seq) == (c // seq)
+    scale = dh ** -0.5
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(qkv.dtype))
+    out_ref[...] = jnp.concatenate(outs, axis=-1)
+
+
+def _packed_flat_attention_fwd_impl(qkv, seq, heads, interpret):
+    rows_total, three_dim = qkv.shape
+    dim = three_dim // 3
+    dh = dim // heads
+    rows = _rows_per_cell(seq)
+    # pad to a whole number of cells: padded rows form their own all-zero
+    # sequences under the block-diagonal mask (uniform softmax over zeros
+    # -> zero output), fully isolated from real rows, sliced off below
+    pad = (-rows_total) % rows
+    if pad:
+        qkv = jnp.concatenate(
+            [qkv, jnp.zeros((pad, three_dim), qkv.dtype)], axis=0)
+    grid = ((rows_total + pad) // rows,)
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, seq=seq, heads=heads, dh=dh,
+                          rows=rows),
+        out_shape=jax.ShapeDtypeStruct((rows_total + pad, dim), qkv.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows, 3 * dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv)
+    return out[:rows_total] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def packed_flat_attention(qkv, seq: int, heads: int, interpret: bool = False):
+    """MHSA over flat rows. qkv (n_seqs*seq, 3*dim) -> (n_seqs*seq, dim).
+
+    Column layout [q | k | v], head h of q at cols [h*dh, (h+1)*dh) — the
+    layout ``nn.Dense(3*dim)`` + split produces.
+    """
+    return _packed_flat_attention_fwd_impl(qkv, seq, heads, interpret)
+
+
+def _pfa_fwd(qkv, seq, heads, interpret):
+    return _packed_flat_attention_fwd_impl(qkv, seq, heads, interpret), qkv
+
+
+def _pfa_bwd(seq, heads, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda x: _xla_attention_flat(x, seq, heads), qkv)
+    return vjp(g)
+
+
+packed_flat_attention.defvjp(_pfa_fwd, _pfa_bwd)
+
+
+def _seq_kernel(qkv_ref, out_ref, *, heads, dh, length):
+    dim = heads * dh
+    qkv = qkv_ref[0]
+    scale = dh ** -0.5
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
+        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(qkv.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _xla_attention_3d(qkv, heads):
+    n, length, three_dim = qkv.shape
+    dim = three_dim // 3
+    flat = qkv.reshape(n * length, three_dim)
+    return _xla_attention_flat(flat, length, heads).reshape(n, length, dim)
+
+
+def _seq_attention_fwd_impl(qkv, heads, interpret):
+    n, length, three_dim = qkv.shape
+    dim = three_dim // 3
+    dh = dim // heads
+    return pl.pallas_call(
+        functools.partial(_seq_kernel, heads=heads, dh=dh, length=length),
+        out_shape=jax.ShapeDtypeStruct((n, length, dim), qkv.dtype),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, length, three_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, length, dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def seq_attention(qkv, heads: int, interpret: bool = False):
+    """MHSA, one sequence per grid cell. qkv (N, L, 3*dim) -> (N, L, dim).
+
+    For L too long to pack (e.g. the 243-frame temporal axis). L need not
+    be tile-aligned — Mosaic pads the block internally.
+    """
+    return _seq_attention_fwd_impl(qkv, heads, interpret)
+
+
+def _sa_fwd(qkv, heads, interpret):
+    return _seq_attention_fwd_impl(qkv, heads, interpret), qkv
+
+
+def _sa_bwd(heads, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda x: _xla_attention_3d(x, heads), qkv)
+    return vjp(g)
+
+
+seq_attention.defvjp(_sa_fwd, _sa_bwd)

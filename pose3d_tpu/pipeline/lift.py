@@ -33,6 +33,13 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     clips = make_clips(kp, clip_len, stride)
 
+    if jax.default_backend() == "tpu" and not model.use_pallas:
+        # serving path: packed-attention Pallas kernels, 1.6x the XLA apply
+        # (ROUND2_NOTES); params are identical, only the compute path moves
+        import dataclasses
+
+        model = dataclasses.replace(model, use_pallas=True)
+
     @jax.jit
     def infer(p, x):
         return model.apply({"params": p}, x, train=False)

@@ -1,0 +1,128 @@
+"""Parity of the packed-attention Pallas kernels vs the XLA formulation.
+
+Covers both kernels (small-seq packed / per-sequence), the custom_vjp
+backward (must equal XLA grads exactly — it IS the XLA recompute), the
+temporal model's use_pallas flag (same outputs, same param tree), and
+cross-sequence isolation of the block-diagonal mask.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose3d_tpu.ops.pallas_attention import (
+    _rows_per_cell,
+    _xla_attention_flat,
+    packed_flat_attention,
+    seq_attention,
+)
+
+
+class TestPackedFlatAttention:
+    @pytest.mark.parametrize("seq,heads,n", [(17, 4, 64), (17, 8, 32),
+                                             (16, 4, 32)])
+    def test_matches_xla(self, seq, heads, n):
+        rng = np.random.default_rng(0)
+        dim = 256
+        qkv = jnp.asarray(
+            rng.standard_normal((n * seq, 3 * dim)).astype(np.float32))
+        want = _xla_attention_flat(qkv, seq, heads)
+        got = packed_flat_attention(qkv, seq, heads, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_rows_per_cell(self):
+        assert _rows_per_cell(17) == 544  # 32 seqs
+        assert _rows_per_cell(16) == 512  # 32 seqs
+        assert _rows_per_cell(8) == 512
+
+    def test_remainder_falls_back(self):
+        # 3 sequences of 17 don't fill a 544-row cell -> XLA fallback, same
+        # result, no error
+        rng = np.random.default_rng(1)
+        qkv = jnp.asarray(
+            rng.standard_normal((3 * 17, 3 * 64)).astype(np.float32))
+        want = _xla_attention_flat(qkv, 17, 4)
+        got = packed_flat_attention(qkv, 17, 4, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_sequence_isolation(self):
+        """Block-diagonal mask: perturbing sequence 0 leaves every other
+        sequence's output bit-identical."""
+        rng = np.random.default_rng(2)
+        qkv = jnp.asarray(
+            rng.standard_normal((32 * 17, 3 * 256)).astype(np.float32))
+        base = packed_flat_attention(qkv, 17, 4, True)
+        pert = packed_flat_attention(qkv.at[:17].add(1.0), 17, 4, True)
+        np.testing.assert_array_equal(np.asarray(base[17:]),
+                                      np.asarray(pert[17:]))
+
+    def test_grad_equals_xla(self):
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(
+            rng.standard_normal((32 * 17, 3 * 128)).astype(np.float32))
+        tgt = jnp.asarray(
+            rng.standard_normal((32 * 17, 128)).astype(np.float32))
+
+        def loss_kernel(x):
+            return jnp.sum((packed_flat_attention(x, 17, 4, True) - tgt) ** 2)
+
+        def loss_xla(x):
+            return jnp.sum((_xla_attention_flat(x, 17, 4) - tgt) ** 2)
+
+        g1 = jax.grad(loss_kernel)(qkv)
+        g2 = jax.grad(loss_xla)(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+class TestSeqAttention:
+    def test_matches_xla(self):
+        rng = np.random.default_rng(0)
+        n, length, dim, heads = 6, 243, 128, 8
+        qkv = jnp.asarray(
+            rng.standard_normal((n, length, 3 * dim)).astype(np.float32))
+        want = _xla_attention_flat(
+            qkv.reshape(n * length, 3 * dim), length, heads
+        ).reshape(n, length, dim)
+        got = seq_attention(qkv, heads, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_grad_equals_xla(self):
+        rng = np.random.default_rng(1)
+        n, length, dim, heads = 2, 100, 64, 4
+        qkv = jnp.asarray(
+            rng.standard_normal((n, length, 3 * dim)).astype(np.float32))
+
+        def loss_kernel(x):
+            return jnp.sum(seq_attention(x, heads, True) ** 2)
+
+        def loss_xla(x):
+            flat = x.reshape(n * length, 3 * dim)
+            return jnp.sum(_xla_attention_flat(flat, length, heads) ** 2)
+
+        g1 = jax.grad(loss_kernel)(qkv)
+        g2 = jax.grad(loss_xla)(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+class TestTemporalLifterFlag:
+    def test_param_tree_and_output_invariant(self):
+        """use_pallas must not change the param tree; on CPU (kernels
+        inactive) outputs must be identical; the flat-row qkv restructure
+        must keep outputs equal to the original formulation."""
+        from pose3d_tpu.models.temporal import TemporalLifter
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 27, 17, 2)).astype(np.float32))
+        m0 = TemporalLifter(clip_len=27, n_blocks=2)
+        m1 = TemporalLifter(clip_len=27, n_blocks=2, use_pallas=True)
+        p0 = m0.init({"params": jax.random.key(0)}, x)["params"]
+        p1 = m1.init({"params": jax.random.key(0)}, x)["params"]
+        assert jax.tree_util.tree_structure(p0) == \
+            jax.tree_util.tree_structure(p1)
+        y0 = m0.apply({"params": p0}, x)
+        y1 = m1.apply({"params": p0}, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)

@@ -402,7 +402,7 @@ def main():
         extra["direct_train"] = {
             "frames_per_s": round(direct_fps, 1),
             "vs_1080ti": round(direct_fps / REF_1080TI_FPS, 2),
-            "config": "R50+64^3 soft-argmax B=64 bf16 (fused NHWC decode)",
+            "config": "R50+64^3 soft-argmax B=64 bf16 (XLA NHWC decode)",
             **direct_mfu,
         }
     except Exception as e:  # noqa: BLE001 — headline must still print

@@ -15,6 +15,12 @@ materialization; per-step time = (t2 - t1) / (K2 - K1) — tunnel RTT and
 constant overhead cancel (see bench.py docstring).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/direct_step_bench.py
+
+NOTE (post-hoc correction): the "pallas" variants here set only
+use_pallas=True, which PoseNet3D ignores when train=True — they measured
+the XLA decode. The honest train-path comparison (use_pallas_train) lives
+in direct_step_bench3.py; this script is kept for the scan/donation
+variants only.
 """
 
 from __future__ import annotations

@@ -6,7 +6,10 @@ f32 convs as multi-pass bf16), not optimizer-relayout-bound as round 1
 hypothesized. Variants here:
 
   B1  bf16 model, XLA NHWC decode, rolled scan, donated
-  B2  bf16 model, Pallas pair-kernel decode, rolled scan, donated
+  B2  bf16 model, Pallas pair-kernel decode IN TRAINING
+      (use_pallas_train=True -- the original version of this script set
+      use_pallas=True only, which the model ignores when train=True, so
+      its "pallas" rows silently measured the XLA decode; fixed)
   B3  = B2 with fwd+bwd only (no optimizer) for the split
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/direct_step_bench3.py
@@ -50,6 +53,7 @@ def main():
 
     def make_state(use_pallas):
         model = PoseNet3D(return_heatmap=False, use_pallas=use_pallas,
+                          use_pallas_train=use_pallas,
                           dtype=jnp.bfloat16)
         return create_train_state(
             model, jax.random.key(0), jnp.zeros((B, HW, HW, 3)), lr=1e-3,

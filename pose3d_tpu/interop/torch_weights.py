@@ -50,11 +50,8 @@ def _dense(sd, prefix):
     return out
 
 
-def _dense_nobias(sd, prefix):
-    return {"kernel": _np(sd[f"{prefix}.weight"]).T}
-
-
-def _bn_params(sd, prefix):
+def _scale_bias(sd, prefix):
+    """BatchNorm/LayerNorm affine params (torch stores both as weight/bias)."""
     return {"scale": _np(sd[f"{prefix}.weight"]),
             "bias": _np(sd[f"{prefix}.bias"])}
 
@@ -62,11 +59,6 @@ def _bn_params(sd, prefix):
 def _bn_stats(sd, prefix):
     return {"mean": _np(sd[f"{prefix}.running_mean"]),
             "var": _np(sd[f"{prefix}.running_var"])}
-
-
-def _layernorm(sd, prefix):
-    return {"scale": _np(sd[f"{prefix}.weight"]),
-            "bias": _np(sd[f"{prefix}.bias"])}
 
 
 def _conv(sd, prefix):
@@ -85,7 +77,7 @@ def martinez_from_torch(sd, num_stages: int = 2):
     """``LinearModel`` state dict -> MartinezLifter variables."""
     params = {
         "Dense_0": _dense(sd, "w1"),
-        "BatchNorm_0": _bn_params(sd, "batch_norm1"),
+        "BatchNorm_0": _scale_bias(sd, "batch_norm1"),
         "Dense_1": _dense(sd, "w2"),
     }
     stats = {"BatchNorm_0": _bn_stats(sd, "batch_norm1")}
@@ -93,9 +85,9 @@ def martinez_from_torch(sd, num_stages: int = 2):
         t = f"linear_stages.{i}"
         params[f"MartinezBlock_{i}"] = {
             "Dense_0": _dense(sd, f"{t}.w1"),
-            "BatchNorm_0": _bn_params(sd, f"{t}.batch_norm1"),
+            "BatchNorm_0": _scale_bias(sd, f"{t}.batch_norm1"),
             "Dense_1": _dense(sd, f"{t}.w2"),
-            "BatchNorm_1": _bn_params(sd, f"{t}.batch_norm2"),
+            "BatchNorm_1": _scale_bias(sd, f"{t}.batch_norm2"),
         }
         stats[f"MartinezBlock_{i}"] = {
             "BatchNorm_0": _bn_stats(sd, f"{t}.batch_norm1"),
@@ -115,7 +107,7 @@ def ae_from_torch(sd):
                     ("decoder2.0", "decoder2.1")]
     for i, (lin, bn) in enumerate(torch_layers):
         params[f"Dense_{i}"] = _dense(sd, lin)
-        params[f"BatchNorm_{i}"] = _bn_params(sd, bn)
+        params[f"BatchNorm_{i}"] = _scale_bias(sd, bn)
         stats[f"BatchNorm_{i}"] = _bn_stats(sd, bn)
     params["Dense_3"] = _dense(sd, "decoder2.4")
     return {"params": params, "batch_stats": stats}
@@ -136,13 +128,13 @@ def vit_lifter_from_torch(sd, n_blocks: int = 2):
     for i in range(n_blocks):
         b = f"blocks.{i}"
         params[f"TransformerBlock_{i}"] = {
-            "LayerNorm_0": _layernorm(sd, f"{b}.norm1"),
+            "LayerNorm_0": _scale_bias(sd, f"{b}.norm1"),
             "JointAttention_0": {
-                "LayerNorm_0": _layernorm(sd, f"{b}.mhsa.norm"),
-                "Dense_0": _dense_nobias(sd, f"{b}.mhsa.to_qkv"),
-                "Dense_1": _dense_nobias(sd, f"{b}.mhsa.to_out"),
+                "LayerNorm_0": _scale_bias(sd, f"{b}.mhsa.norm"),
+                "Dense_0": _dense(sd, f"{b}.mhsa.to_qkv"),
+                "Dense_1": _dense(sd, f"{b}.mhsa.to_out"),
             },
-            "LayerNorm_1": _layernorm(sd, f"{b}.norm2"),
+            "LayerNorm_1": _scale_bias(sd, f"{b}.norm2"),
             "Dense_0": _dense(sd, f"{b}.mlp.0"),
             "Dense_1": _dense(sd, f"{b}.mlp.2"),
         }
@@ -156,7 +148,7 @@ def projection_from_torch(sd):
     for i, (lin, bn) in enumerate([("mlp.1", "mlp.2"), ("mlp.5", "mlp.6"),
                                    ("mlp.9", "mlp.10")]):
         params[f"Dense_{i}"] = _dense(sd, lin)
-        params[f"BatchNorm_{i}"] = _bn_params(sd, bn)
+        params[f"BatchNorm_{i}"] = _scale_bias(sd, bn)
         stats[f"BatchNorm_{i}"] = _bn_stats(sd, bn)
     params["Dense_3"] = _dense(sd, "mlp.13")
     return {"params": params, "batch_stats": stats}
@@ -188,7 +180,7 @@ def _deconv_head_from_torch(sd, deconv_prefix="deconv_layers",
     stats = {}
     for i, slot in enumerate((0, 3, 6)):
         params[f"ConvTranspose_{i}"] = _deconv(sd, f"{deconv_prefix}.{slot}")
-        params[f"BatchNorm_{i}"] = _bn_params(sd, f"{deconv_prefix}.{slot + 1}")
+        params[f"BatchNorm_{i}"] = _scale_bias(sd, f"{deconv_prefix}.{slot + 1}")
         stats[f"BatchNorm_{i}"] = _bn_stats(sd, f"{deconv_prefix}.{slot + 1}")
     return params, stats
 

@@ -65,6 +65,10 @@ class PoseNet3D(nn.Module):
     z_scale: float = 2.5
     return_heatmap: bool = True
     use_pallas: bool = True  # fused decode kernel on TPU (coords-only path)
+    # also take the Pallas decode (fused fwd+bwd) in TRAINING; see
+    # ROUND2_NOTES "decode" for the measured XLA-vs-kernel train-step
+    # numbers behind the default
+    use_pallas_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,13 +84,11 @@ class PoseNet3D(nn.Module):
         )(feats, train=train)
         b, h, w, _ = logits.shape
         if not self.return_heatmap:
-            if (self.use_pallas and not train
+            if (self.use_pallas and (not train or self.use_pallas_train)
                     and jax.default_backend() == "tpu"):
-                # inference: fused transpose-free decode straight off the
-                # NHWC conv output (single VMEM pass; a fused Pallas backward
-                # exists too, but measured end-to-end the training step is
-                # MXU-bound and XLA's fused NHWC decode edges it out by ~3 ms
-                # at B=64 — see ROUND2_NOTES "decode" experiments)
+                # fused transpose-free decode straight off the NHWC conv
+                # output: single VMEM pass forward, fused Pallas backward
+                # (used in training only under use_pallas_train)
                 from pose3d_tpu.ops.pallas_softargmax import (
                     soft_argmax_3d_nhwc_pallas,
                 )

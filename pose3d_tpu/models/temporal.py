@@ -52,9 +52,10 @@ class _MHSA(nn.Module):
         if self.use_pallas and jax.default_backend() == "tpu":
             # FLAT-row formulation: (N*L, dim) tiles the (sublane, lane)
             # grid exactly — (N, 17, dim) pads 17 -> 32 sublanes. Measured
-            # (ROUND2_NOTES): 1.6x on inference; but the reshape relayouts
-            # in the BACKWARD cost more than they save (57.5 -> 69 ms/step),
-            # so this branch is only taken with use_pallas.
+            # (ROUND2_NOTES): 1.34x on inference vs the 3D XLA apply; but
+            # the reshape relayouts in the BACKWARD cost more than they
+            # save (57.5 -> 69 ms/step), so this branch is only taken with
+            # use_pallas.
             from pose3d_tpu.ops.pallas_attention import (
                 packed_flat_attention,
                 seq_attention,
@@ -197,17 +198,31 @@ class TemporalLifter(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype)(y).astype(jnp.float32)
 
 
+def clip_starts(n: int, clip_len: int, stride: int) -> list:
+    """Start offsets of sliding windows COVERING every frame: the regular
+    stride grid plus, when the grid's last window ends before frame n, a
+    final window anchored at n - clip_len. Without that anchor, any
+    sequence with (n - clip_len) % stride != 0 leaves its tail frames in
+    no clip at all (e.g. 438 frames, clip 243, stride 121: the grid stops
+    at start 121, frames 364..437 uncovered)."""
+    starts = list(range(0, max(n - clip_len + 1, 1), stride))
+    if starts[-1] + clip_len < n:
+        starts.append(max(n - clip_len, 0))
+    return starts
+
+
 def make_clips(sequence, clip_len: int = 243, stride: int | None = None):
     """Host-side: (N, J, D) frame sequence -> (num_clips, clip_len, J, D)
     sliding windows (stride defaults to clip_len, i.e. non-overlapping; the
-    MotionBERT convention for training windows)."""
+    MotionBERT convention for training windows). Every frame is covered
+    (see ``clip_starts``); a too-short tail clip is padded by repeating
+    the last frame."""
     import numpy as np
 
     stride = stride or clip_len
     n = sequence.shape[0]
-    starts = list(range(0, max(n - clip_len + 1, 1), stride))
     clips = []
-    for s in starts:
+    for s in clip_starts(n, clip_len, stride):
         clip = sequence[s : s + clip_len]
         if len(clip) < clip_len:  # pad the tail clip by repeating last frame
             pad = np.repeat(clip[-1:], clip_len - len(clip), axis=0)

@@ -54,10 +54,10 @@ DIM_HEAD = DIM // HEADS
 MLP = 4 * DIM
 # rows per grid cell: 32 frames x 17 tokens (multiple of the bf16 sublane
 # tile 16); attention packs all 32 frames (544 rows) in one masked matmul.
-# ROWS=1088 exceeds the 16MB scoped-VMEM budget (f32 MLP intermediates);
-# 544 fits with room for double-buffered in/out blocks.
+# ROWS=1088 exceeds the 16MB scoped-VMEM budget even with a hidden-chunked
+# MLP (20.4M measured); 544 fits with room for double-buffered in/out
+# blocks.
 ROWS = 544
-PACK_ROWS = 544
 
 
 @dataclass(frozen=True)
@@ -105,37 +105,31 @@ def _gelu(x):
 def _packed_attention(qkv, mask):
     """qkv (ROWS, 768) bf16 -> attention output (ROWS, 256) bf16.
 
-    Heads and 32-frame packs unrolled statically: scores for one pack are a
+    Heads unrolled statically: scores for the whole 32-frame cell are one
     (544, 544) f32 MXU product masked to the 17x17 per-frame diagonal
     blocks; the masked row softmax equals the per-frame softmax.
     """
     scale = DIM_HEAD ** -0.5
-    outs = []
-    for p in range(ROWS // PACK_ROWS):
-        r0 = p * PACK_ROWS
-        head_outs = []
-        for h in range(HEADS):
-            q = qkv[r0:r0 + PACK_ROWS, h * DIM_HEAD:(h + 1) * DIM_HEAD]
-            k = qkv[r0:r0 + PACK_ROWS,
-                    DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
-            v = qkv[r0:r0 + PACK_ROWS,
-                    2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+    head_outs = []
+    for h in range(HEADS):
+        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
+        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
+        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(mask, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        head_outs.append(
+            jax.lax.dot_general(
+                a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            s = jnp.where(mask, s, -jnp.inf)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            a = e / jnp.sum(e, axis=-1, keepdims=True)
-            head_outs.append(
-                jax.lax.dot_general(
-                    a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(qkv.dtype)
-            )
-        outs.append(jnp.concatenate(head_outs, axis=-1))
-    return jnp.concatenate(outs, axis=0)
+            ).astype(qkv.dtype)
+        )
+    return jnp.concatenate(head_outs, axis=-1)
 
 
 def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
@@ -145,8 +139,8 @@ def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
     # PE-add lives in the kernel: pe_ref is the (ROWS, 256) table tiled to
     # the 17-token period (ROWS % 17 == 0, so it aligns at every grid cell).
     x = x_ref[...] + pe_ref[...]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (PACK_ROWS, PACK_ROWS), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (PACK_ROWS, PACK_ROWS), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
     mask = (rows // N_JOINTS) == (cols // N_JOINTS)
     for blk in range(n_blocks):
         (lna_g, lna_b, lnb_g, lnb_b, w_qkv, w_proj, ln2_g, ln2_b, w1) = (

@@ -17,14 +17,21 @@ from pose3d_tpu.pipeline.keypoints import load_video_json, save_mb_npy
 
 
 def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
-                  image_size: float = 1000.0, stride: int | None = None):
+                  image_size: float = 1000.0, stride: int | None = None,
+                  use_pallas: bool | None = None):
     """(T,17,2) pixel keypoints -> (T,17,3) lifted sequence.
 
     Clips of ``model.clip_len`` frames with ``stride`` overlap (default:
-    clip_len//2); overlapping frame predictions are averaged.
+    clip_len//2); overlapping frame predictions are averaged; every frame
+    is covered (``clip_starts`` anchors a final window at the tail).
+    ``use_pallas``: None (default) auto-enables the packed-attention
+    serving kernels on TPU (1.34x the XLA apply, ROUND2_NOTES); pass
+    True/False to force either path.
     """
     import jax
     import jax.numpy as jnp
+
+    from pose3d_tpu.models.temporal import clip_starts
 
     t_total = kp2d_px.shape[0]
     clip_len = min(model.clip_len, t_total)
@@ -33,12 +40,13 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     clips = make_clips(kp, clip_len, stride)
 
-    if jax.default_backend() == "tpu" and not model.use_pallas:
-        # serving path: packed-attention Pallas kernels, 1.6x the XLA apply
-        # (ROUND2_NOTES); params are identical, only the compute path moves
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas != model.use_pallas:
+        # params are identical, only the compute path moves
         import dataclasses
 
-        model = dataclasses.replace(model, use_pallas=True)
+        model = dataclasses.replace(model, use_pallas=use_pallas)
 
     @jax.jit
     def infer(p, x):
@@ -48,12 +56,12 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     acc = np.zeros((t_total, 17, 3), np.float32)
     cnt = np.zeros((t_total, 1, 1), np.float32)
-    starts = list(range(0, max(t_total - clip_len + 1, 1), stride))
-    for c, s in zip(out, starts):
+    for c, s in zip(out, clip_starts(t_total, clip_len, stride)):
         end = min(s + clip_len, t_total)
         acc[s:end] += c[: end - s]
         cnt[s:end] += 1.0
-    return acc / np.maximum(cnt, 1.0)
+    assert cnt.min() >= 1.0, "internal: some frame covered by no clip"
+    return acc / cnt
 
 
 def lift_video_json(params, model: TemporalLifter, json_path, out_npy_path,

@@ -23,7 +23,8 @@ class LifterService:
 
     def __init__(self, model, params, batch_stats=None, *,
                  max_batch: int = 8192, min_bucket: int = 64,
-                 use_fused_martinez: bool = True):
+                 use_fused_martinez: bool = True,
+                 use_fused_vit: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -57,13 +58,19 @@ class LifterService:
 
             fused = run
 
-        if (isinstance(model, JointTransformerLifter)
-                and model.n_joints == 17 and model.hidden == 256
-                and model.n_blocks == 2 and not model.class_token
+        if (use_fused_vit and isinstance(model, JointTransformerLifter)
+                # the kernel hardcodes the default architecture — every
+                # field it bakes in must match, notably heads (the qkv/proj
+                # param SHAPES are head-count-independent, so a mismatch
+                # would be silently wrong, not a shape error)
+                and model.n_joints == 17 and model.in_dim == 2
+                and model.out_dim == 3 and model.hidden == 256
+                and model.n_blocks == 2 and model.heads == 4
+                and not model.class_token
+                and all(b % 32 == 0 for b in self.buckets)  # 32-frame tile
                 and jax.default_backend() == "tpu"):
             # whole-trunk VMEM megakernel: 2.5x the XLA apply at B=8192
-            # (ROUND2_NOTES); buckets are powers of two >= 64, all multiples
-            # of the kernel's 32-frame row tile
+            # (ROUND2_NOTES)
             from pose3d_tpu.models.lifters import (
                 sinusoidal_positional_embeddings,
             )

@@ -37,9 +37,10 @@ class TestPackedFlatAttention:
         assert _rows_per_cell(16) == 512  # 32 seqs
         assert _rows_per_cell(8) == 512
 
-    def test_remainder_falls_back(self):
-        # 3 sequences of 17 don't fill a 544-row cell -> XLA fallback, same
-        # result, no error
+    def test_partial_cell_padded(self):
+        # 3 sequences of 17 don't fill a 544-row cell -> the kernel zero-
+        # pads to a whole cell (padded rows are isolated sequences under the
+        # mask) and slices the result; must equal XLA exactly
         rng = np.random.default_rng(1)
         qkv = jnp.asarray(
             rng.standard_normal((3 * 17, 3 * 64)).astype(np.float32))

@@ -86,3 +86,35 @@ class TestMakeClips:
         seq = rng.random((50, 17, 2)).astype(np.float32)
         clips = make_clips(seq, 20, stride=10)
         assert clips.shape[0] == 4  # starts 0,10,20,30
+
+    def test_every_frame_covered(self, rng):
+        """Regression: 438 frames / clip 243 / stride 121 used to leave
+        frames 364..437 in no clip (the stride grid stops at 121); a final
+        window must anchor at n - clip_len."""
+        from pose3d_tpu.models.temporal import clip_starts
+
+        starts = clip_starts(438, 243, 121)
+        assert starts == [0, 121, 195]
+        covered = np.zeros(438, bool)
+        for s in starts:
+            covered[s:s + 243] = True
+        assert covered.all()
+        seq = rng.random((438, 17, 2)).astype(np.float32)
+        clips = make_clips(seq, 243, stride=121)
+        assert clips.shape == (3, 243, 17, 2)
+        np.testing.assert_array_equal(clips[2], seq[195:438])
+
+    def test_lift_sequence_tail_not_zero(self, rng):
+        """End-to-end: lift_sequence output for the tail frames must come
+        from the model, not the zero-initialized accumulator."""
+        from pose3d_tpu.pipeline.lift import lift_sequence
+
+        model = TemporalLifter(clip_len=27, hidden=32, n_blocks=1, heads=2)
+        kp = rng.random((40, 17, 2)).astype(np.float32) * 800
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 27, 17, 2)), train=False)["params"]
+        out = lift_sequence(params, model, kp, stride=13)
+        # starts 0, 13 cover 0..39 only with the tail anchor (40-27=13 ->
+        # dedup); any all-zero tail row means uncovered frames
+        assert np.abs(out[-5:]).sum() > 0

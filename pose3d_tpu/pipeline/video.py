@@ -40,7 +40,16 @@ def iter_frames(video_path, fps: float | None = None):
 
 def extract_frames(video_path, out_dir, fps: float = 10.0) -> int:
     """Decode a video to ``out_dir/%04d.jpg`` at ``fps`` (reference layout:
-    1-based zero-padded names, run.py:128). Returns the frame count."""
+    1-based zero-padded names, run.py:128). Returns the frame count.
+
+    Prefers the native C++ decoder (pose3d_tpu/native/video.cc — no Python
+    in the frame path; identical frame selection and pixels); falls back to
+    the in-process cv2 loop.
+    """
+    from pose3d_tpu.data import native_video
+
+    if native_video.native_available():
+        return native_video.extract_jpegs(video_path, out_dir, fps=fps)
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     n = 0

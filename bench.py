@@ -342,19 +342,19 @@ def tpu_temporal_infer_throughput():
     import jax.numpy as jnp
 
     from pose3d_tpu.models.temporal import TemporalLifter
+    from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
 
     rng = np.random.default_rng(0)
     xla_model = TemporalLifter(dtype=jnp.bfloat16)
-    pallas_model = TemporalLifter(dtype=jnp.bfloat16, use_pallas=True)
     t = xla_model.clip_len
     x = jnp.asarray(rng.random((TI_B, t, 17, 2)).astype(np.float32))
     params = xla_model.init({"params": jax.random.key(0)}, x)["params"]
 
-    def measure(model, label):
+    def measure(apply_fn, label):
         def chain(k):
             def f(p, xx):
                 def body(kp, _):
-                    out = model.apply({"params": p}, kp)
+                    out = apply_fn(p, kp)
                     return kp + out[..., :2] * 1e-3, out[0, 0, 0, 0]
 
                 kp, s = jax.lax.scan(body, xx, None, length=k)
@@ -375,8 +375,12 @@ def tpu_temporal_infer_throughput():
         _log(f"temporal_infer[{label}]: {per_iter*1e3:.2f} ms/iter")
         return per_iter
 
-    pallas_iter = measure(pallas_model, "pallas")
-    xla_iter = measure(xla_model, "xla")
+    # headline: the fully-fused serving forward (spatial sub-block
+    # megakernel + per-sequence temporal attention, the pipeline/lift path)
+    pallas_iter = measure(lambda p, kp: temporal_forward_fused(p, kp),
+                          "fused")
+    xla_iter = measure(
+        lambda p, kp: xla_model.apply({"params": p}, kp), "xla")
     return TI_B * t / pallas_iter, TI_B * t / xla_iter
 
 
@@ -428,7 +432,7 @@ def main():
             "frames_per_s": round(ti_fps, 1),
             "xla_apply_frames_per_s": round(ti_xla_fps, 1),
             "vs_baseline": None,  # reference: external MotionBERT, no number
-            "config": "243-frame serving, packed-attention kernels, B=16 bf16",
+            "config": "243-frame serving, fused spatial-block + packed attention, B=16 bf16",
         }
     except Exception as e:  # noqa: BLE001
         _log(f"temporal infer bench FAILED: {type(e).__name__}: {e}")

@@ -13,3 +13,4 @@ from pose3d_tpu.ops.pallas_attention import (  # noqa: F401
     seq_attention,
 )
 from pose3d_tpu.ops.pallas_lifter import lifter_forward_fused  # noqa: F401
+from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused  # noqa: F401

@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fused SPATIAL sub-block of the temporal lifter, and
+the fully-fused serving forward built on it.
+
+After the packed-attention kernels (ops/pallas_attention) took temporal
+serving from 47.8 to 35.7 ms (B=16), the remaining gap to the ~16 ms dense
+floor is the spatial branch's LN/MLP running on (N, 17, 256) activations —
+17 -> 32 sublane padding on every tensor (ROUND2_NOTES "packed-attention"
+section). This kernel applies the ops/pallas_lifter recipe to ONE
+SpatioTemporalBlock spatial sub-block:
+
+    x = x + proj(attn(LN(x)))          # packed 17-token attention
+    x = x + mlp(LN(x))                 # 4x GELU MLP
+
+entirely in VMEM on flat (N*17, 256) rows — 544-row grid cells (32 frames),
+block-diagonal-masked attention, weights resident via constant index_map.
+Differences from the lifter trunk: single LN before attention (no double-LN
+quirk), qkv/proj carry biases, 8 heads of 32 (the temporal model's split).
+
+``temporal_forward_fused`` then runs the whole TemporalLifter inference
+with: embed+PE and the temporal branch's LN/MLP in XLA on FLAT rows
+(unpadded), the spatial sub-block in this kernel, and the 243-frame
+temporal attention in ops/pallas_attention.seq_attention. Inference-only
+(serving); training keeps the flax module. Parity test:
+tests/test_pallas_stblock.py.
+
+Reference provenance: the block structure is this framework's native
+MotionBERT-equivalent (SURVEY.md section 5 long-context; reference
+delegates to external MotionBERT, phase2_opp_mb/run.py:475-478).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pose3d_tpu.ops.pallas_lifter import _gelu, _ln
+
+N_JOINTS = 17
+DIM = 256
+HEADS = 8
+DIM_HEAD = DIM // HEADS
+MLP = 4 * DIM
+ROWS = 544  # 32 frames x 17 joint tokens
+
+
+def _spatial_kernel(x_ref, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
+                    ln2_g, ln2_b, w1, b1, w2, b2, out_ref):
+    x = x_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    mask = (rows // N_JOINTS) == (cols // N_JOINTS)
+    scale = DIM_HEAD ** -0.5
+
+    y = _ln(x, lna_g[...][0], lna_b[...][0])
+    qkv = (jnp.dot(y, w_qkv[...], preferred_element_type=jnp.float32)
+           + b_qkv[...][0].astype(jnp.float32)).astype(x.dtype)
+    head_outs = []
+    for h in range(HEADS):
+        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
+        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
+        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        a = e / jnp.sum(e, axis=-1, keepdims=True)
+        head_outs.append(jax.lax.dot_general(
+            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    attn = jnp.concatenate(head_outs, axis=-1)
+    x = x + (jnp.dot(attn, w_proj[...], preferred_element_type=jnp.float32)
+             + b_proj[...][0].astype(jnp.float32)).astype(x.dtype)
+    y = _ln(x, ln2_g[...][0], ln2_b[...][0])
+    y = jnp.dot(y, w1[...], preferred_element_type=jnp.float32) + \
+        b1[...][0].astype(jnp.float32)
+    y = _gelu(y.astype(x.dtype))
+    x = x + (jnp.dot(y, w2[...], preferred_element_type=jnp.float32)
+             + b2[...][0].astype(jnp.float32)).astype(x.dtype)
+    out_ref[...] = x
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spatial_block_fused(x_flat, weights, *, interpret=False):
+    """x_flat (n_frames*17, 256) bf16; weights: the 12-tuple packed by
+    ``pack_spatial_weights``. Rows are zero-padded to a whole number of
+    544-row cells (padded rows form isolated all-zero frames under the
+    block-diagonal mask; LN of zeros is finite at eps=1e-6) and sliced
+    off after."""
+    n = x_flat.shape[0]
+    pad = (-n) % ROWS
+    if pad:
+        x_flat = jnp.concatenate(
+            [x_flat, jnp.zeros((pad, DIM), x_flat.dtype)], axis=0)
+    in_specs = [pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_const_spec(w.shape) for w in weights]
+    out = pl.pallas_call(
+        _spatial_kernel,
+        out_shape=jax.ShapeDtypeStruct((n + pad, DIM), x_flat.dtype),
+        grid=((n + pad) // ROWS,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_flat, *weights)
+    return out[:n] if pad else out
+
+
+def _v(g):
+    return jnp.asarray(g, jnp.bfloat16).reshape(1, -1)
+
+
+def _m(g):
+    return jnp.asarray(g, jnp.bfloat16)
+
+
+def pack_spatial_weights(block_params) -> tuple:
+    """SpatioTemporalBlock params -> the kernel operand tuple (spatial
+    half: LayerNorm_0, _MHSA_0.Dense_0/1, LayerNorm_1, _MLP_0.Dense_0/1)."""
+    att = block_params["_MHSA_0"]
+    mlp = block_params["_MLP_0"]
+    return (
+        _v(block_params["LayerNorm_0"]["scale"]),
+        _v(block_params["LayerNorm_0"]["bias"]),
+        _m(att["Dense_0"]["kernel"]), _v(att["Dense_0"]["bias"]),
+        _m(att["Dense_1"]["kernel"]), _v(att["Dense_1"]["bias"]),
+        _v(block_params["LayerNorm_1"]["scale"]),
+        _v(block_params["LayerNorm_1"]["bias"]),
+        _m(mlp["Dense_0"]["kernel"]), _v(mlp["Dense_0"]["bias"]),
+        _m(mlp["Dense_1"]["kernel"]), _v(mlp["Dense_1"]["bias"]),
+    )
+
+
+def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
+                           interpret=False):
+    """Fully-fused serving forward of the default TemporalLifter.
+
+    params: flax params of ``TemporalLifter()`` (17 joints, hidden 256,
+    heads 8, 5 blocks). clips: (C, T, 17, 2) f32 with T == clip_len (any
+    C — the spatial kernel row-pads internally). Returns (C, T, 17, 3)
+    f32 — same contract as ``model.apply(..., train=False)``.
+    """
+    from pose3d_tpu.ops.pallas_attention import seq_attention
+
+    c, t, j, _ = clips.shape
+    if j != N_JOINTS or t != clip_len:
+        raise ValueError(f"expected (C, {clip_len}, {N_JOINTS}, 2), got "
+                         f"{clips.shape}")
+
+    dt = jnp.bfloat16
+    x = clips.reshape(c * t * j, 2).astype(dt)
+    w_e = _m(params["Dense_0"]["kernel"])
+    b_e = _v(params["Dense_0"]["bias"])[0]
+    tokens = x @ w_e + b_e
+    # PE on flat rows: (spatial + temporal) PE is a (T, 17, 256) table
+    # (traced params -> no giant embedded constants), tiled per clip
+    pe = (jnp.asarray(params["spatial_pe"], dt)[0, 0][None]
+          + jnp.asarray(params["temporal_pe"], dt)[0, :t][:, None])
+    tokens = tokens + jnp.tile(pe.reshape(t * j, DIM), (c, 1))
+
+    for blk in range(n_blocks):
+        bp = params[f"SpatioTemporalBlock_{blk}"]
+        # spatial sub-block: fused kernel on flat (C*T*17, 256) rows
+        tokens = spatial_block_fused(
+            tokens, pack_spatial_weights(bp), interpret=interpret)
+        # temporal sub-block: regroup rows by (clip, joint); LN/qkv/proj/
+        # MLP on flat rows (unpadded), attention one sequence per cell
+        xt = tokens.reshape(c, t, j, DIM).transpose(0, 2, 1, 3) \
+            .reshape(c * j * t, DIM)
+        g, b = _v(bp["LayerNorm_2"]["scale"])[0], _v(bp["LayerNorm_2"]["bias"])[0]
+        y = _flat_ln(xt, g, b)
+        att = bp["_MHSA_1"]
+        qkv = y @ _m(att["Dense_0"]["kernel"]) + _v(att["Dense_0"]["bias"])[0]
+        if interpret:
+            from pose3d_tpu.ops.pallas_attention import _xla_attention_flat
+
+            out = _xla_attention_flat(qkv, t, HEADS)
+        else:
+            out = seq_attention(
+                qkv.reshape(c * j, t, 3 * DIM), HEADS
+            ).reshape(c * j * t, DIM)
+        xt = xt + out @ _m(att["Dense_1"]["kernel"]) + \
+            _v(att["Dense_1"]["bias"])[0]
+        g, b = _v(bp["LayerNorm_3"]["scale"])[0], _v(bp["LayerNorm_3"]["bias"])[0]
+        y = _flat_ln(xt, g, b)
+        mlp = bp["_MLP_1"]
+        y = y @ _m(mlp["Dense_0"]["kernel"]) + _v(mlp["Dense_0"]["bias"])[0]
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(dt)
+        xt = xt + y @ _m(mlp["Dense_1"]["kernel"]) + \
+            _v(mlp["Dense_1"]["bias"])[0]
+        tokens = xt.reshape(c, j, t, DIM).transpose(0, 2, 1, 3) \
+            .reshape(c * t * j, DIM)
+
+    g, b = _v(params["LayerNorm_0"]["scale"])[0], _v(params["LayerNorm_0"]["bias"])[0]
+    y = _flat_ln(tokens, g, b)
+    y = y @ _m(params["Dense_1"]["kernel"]) + _v(params["Dense_1"]["bias"])[0]
+    y = jnp.maximum(y, 0)
+    y = (y @ _m(params["Dense_2"]["kernel"])
+         + _v(params["Dense_2"]["bias"])[0]).astype(jnp.float32)
+    return y.reshape(c, t, j, 3)
+
+
+def _flat_ln(x, g, b):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)

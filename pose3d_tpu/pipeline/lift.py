@@ -42,15 +42,29 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas != model.use_pallas:
-        # params are identical, only the compute path moves
-        import dataclasses
 
-        model = dataclasses.replace(model, use_pallas=use_pallas)
+    if (use_pallas and clip_len == model.clip_len and model.hidden == 256
+            and model.heads == 8 and model.n_joints == 17):
+        # fully-fused serving forward: spatial sub-block megakernel +
+        # per-sequence temporal attention — 1.69x the XLA apply at B=16
+        # (ROUND2_NOTES); params identical, only the compute path moves
+        from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
 
-    @jax.jit
-    def infer(p, x):
-        return model.apply({"params": p}, x, train=False)
+        n_blocks, cl = model.n_blocks, model.clip_len
+
+        @jax.jit
+        def infer(p, x):
+            return temporal_forward_fused(p, x, n_blocks=n_blocks,
+                                          clip_len=cl)
+    else:
+        if use_pallas != model.use_pallas:
+            import dataclasses
+
+            model = dataclasses.replace(model, use_pallas=use_pallas)
+
+        @jax.jit
+        def infer(p, x):
+            return model.apply({"params": p}, x, train=False)
 
     out = np.asarray(infer(params, jnp.asarray(clips)))  # (C, L, 17, 3)
 

@@ -1,0 +1,66 @@
+"""Parity of the fused temporal-serving forward (spatial sub-block
+megakernel + flat-row temporal branch) vs the flax TemporalLifter apply."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose3d_tpu.models.temporal import TemporalLifter
+from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TemporalLifter(clip_len=27, n_blocks=2)
+    rng = np.random.default_rng(3)
+    # C*T = 32*27 = 864: a multiple of the kernel's 32-frame cell
+    x = jnp.asarray(rng.random((32, 27, 17, 2)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, x[:2])["params"]
+    return model, params, x
+
+
+class TestTemporalForwardFused:
+    def test_matches_bf16_apply(self, setup):
+        model, params, x = setup
+        bf16 = TemporalLifter(clip_len=27, n_blocks=2, dtype=jnp.bfloat16)
+        want = np.asarray(bf16.apply({"params": params}, x))
+        got = np.asarray(temporal_forward_fused(
+            params, x, n_blocks=2, clip_len=27, interpret=True))
+        assert got.shape == (32, 27, 17, 3)
+        err = np.abs(got - want).max()
+        assert err < 5e-2, f"max abs err {err}"
+
+    def test_close_to_f32_apply(self, setup):
+        model, params, x = setup
+        want = np.asarray(model.apply({"params": params}, x))
+        got = np.asarray(temporal_forward_fused(
+            params, x, n_blocks=2, clip_len=27, interpret=True))
+        err = np.abs(got - want).max()
+        assert err < 0.1, f"max abs err {err}"
+
+    def test_bad_shapes_raise(self, setup):
+        _, params, x = setup
+        with pytest.raises(ValueError, match="expected"):
+            temporal_forward_fused(params, x[:, :20], n_blocks=2,
+                                   clip_len=27, interpret=True)
+
+    def test_row_padding_any_clip_count(self, setup):
+        """C=3 (C*T = 81 frames, not a multiple of 32): the spatial kernel
+        row-pads internally; result must equal the C=32 run's first 3."""
+        _, params, x = setup
+        full = np.asarray(temporal_forward_fused(
+            params, x, n_blocks=2, clip_len=27, interpret=True))
+        small = np.asarray(temporal_forward_fused(
+            params, x[:3], n_blocks=2, clip_len=27, interpret=True))
+        np.testing.assert_array_equal(small, full[:3])
+
+    def test_clip_isolation(self, setup):
+        """Clips must not attend across each other through any branch."""
+        _, params, x = setup
+        base = np.asarray(temporal_forward_fused(
+            params, x, n_blocks=2, clip_len=27, interpret=True))
+        pert = np.asarray(temporal_forward_fused(
+            params, x.at[0].add(1.0), n_blocks=2, clip_len=27,
+            interpret=True))
+        np.testing.assert_array_equal(base[1:], pert[1:])

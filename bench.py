@@ -132,7 +132,10 @@ def tpu_lifting_throughput():
     model = JointTransformerLifter(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((BATCH, 17, 2)).astype(np.float32))
-    params = model.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    params = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.key(0), x)["params"]  # jitted: eager init through the
+    # tunnel remote-compiles every op individually (minutes)
     pe = sinusoidal_positional_embeddings(17, 256)
 
     def measure(apply_fn, label):
@@ -217,13 +220,18 @@ def cpu_reference_throughput() -> float:
 
     model = Lifter().eval()
     x = torch.rand(CPU_BATCH, 17, 2)
+    best = float("inf")
     with torch.no_grad():
         model(x)  # warmup
-        t0 = time.perf_counter()
-        for _ in range(CPU_ITERS):
-            model(x)
-        dt = time.perf_counter() - t0
-    return CPU_BATCH * CPU_ITERS / dt
+        # best-of-3: the shared host's CPU throughput fluctuates ~2-3x
+        # run-to-run; the fastest pass is the least-contended estimate
+        # (conservative toward the baseline)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(CPU_ITERS):
+                model(x)
+            best = min(best, time.perf_counter() - t0)
+    return CPU_BATCH * CPU_ITERS / best
 
 
 # --------------------------------------------------------------------------
@@ -348,7 +356,9 @@ def tpu_temporal_infer_throughput():
     xla_model = TemporalLifter(dtype=jnp.bfloat16)
     t = xla_model.clip_len
     x = jnp.asarray(rng.random((TI_B, t, 17, 2)).astype(np.float32))
-    params = xla_model.init({"params": jax.random.key(0)}, x)["params"]
+    params = jax.jit(
+        lambda r, xx: xla_model.init({"params": r}, xx)
+    )(jax.random.key(0), x)["params"]
 
     def measure(apply_fn, label):
         def chain(k):

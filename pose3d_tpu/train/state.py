@@ -83,11 +83,16 @@ def create_train_state(
     model, rng, example_input, lr: float, optimizer: str = "adamw",
     weight_decay: float = 0.0, grad_clip: float = 0.0, train_kwargs=None,
 ) -> TrainState:
-    variables = model.init(
+    # jit the init: eager init through a remote-dispatch backend (the axon
+    # TPU tunnel) compiles every op individually — minutes for a ResNet
+    import functools
+
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, **(train_kwargs or {}))
+    )
+    variables = init_fn(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         example_input,
-        train=True,
-        **(train_kwargs or {}),
     )
     tx = make_optimizer(lr, optimizer, weight_decay, grad_clip)
     params = variables["params"]

@@ -1,0 +1,44 @@
+"""Live-TPU parity check of every custom Pallas kernel vs its XLA
+formulation (lifter megakernel, packed/seq attention, fused temporal
+forward) — the quick re-verification to run after touching any kernel.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/kernel_parity.py
+"""
+import sys
+import numpy as np, jax, jax.numpy as jnp
+
+def log(m): print(m, file=sys.stderr, flush=True)
+
+# 1. megakernel lifter
+from pose3d_tpu.models.lifters import JointTransformerLifter, sinusoidal_positional_embeddings
+from pose3d_tpu.ops.pallas_lifter import lifter_forward_fused
+m = JointTransformerLifter(dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.random((128, 17, 2)).astype(np.float32))
+p = jax.jit(lambda r, xx: m.init({"params": r}, xx, train=False))(jax.random.key(0), x)["params"]
+pe = sinusoidal_positional_embeddings(17, 256)
+want = np.asarray(jax.jit(lambda pp, xx: m.apply({"params": pp}, xx, train=False))(p, x))
+got = np.asarray(jax.jit(lambda pp, xx: lifter_forward_fused(pp, xx, pe=pe))(p, x))
+e1 = np.abs(got - want).max(); log(f"lifter megakernel parity: {e1:.4f}"); assert e1 < 5e-2
+
+# 2. packed attention + seq attention
+from pose3d_tpu.ops.pallas_attention import packed_flat_attention, seq_attention, _xla_attention_flat
+qkv = jnp.asarray(rng.standard_normal((100 * 17, 3 * 256)).astype(np.float32))
+want = np.asarray(jax.jit(lambda q: _xla_attention_flat(q, 17, 8))(qkv))
+got = np.asarray(jax.jit(lambda q: packed_flat_attention(q, 17, 8))(qkv))
+e2 = np.abs(got - want).max(); log(f"packed_flat_attention parity: {e2:.5f}"); assert e2 < 1e-3
+q3 = jnp.asarray(rng.standard_normal((6, 243, 3 * 256)).astype(np.float32))
+want = np.asarray(jax.jit(lambda q: _xla_attention_flat(q.reshape(-1, 768), 243, 8))(q3)).reshape(6, 243, 256)
+got = np.asarray(jax.jit(lambda q: seq_attention(q, 8))(q3))
+e3 = np.abs(got - want).max(); log(f"seq_attention parity: {e3:.5f}"); assert e3 < 1e-3
+
+# 3. fused temporal forward
+from pose3d_tpu.models.temporal import TemporalLifter
+from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
+tm = TemporalLifter(dtype=jnp.bfloat16)
+xc = jnp.asarray(rng.random((2, 243, 17, 2)).astype(np.float32))
+tp = jax.jit(lambda r, xx: tm.init({"params": r}, xx))(jax.random.key(1), xc)["params"]
+want = np.asarray(jax.jit(lambda pp, xx: tm.apply({"params": pp}, xx))(tp, xc))
+got = np.asarray(jax.jit(lambda pp, xx: temporal_forward_fused(pp, xx))(tp, xc))
+e4 = np.abs(got - want).max(); log(f"temporal_forward_fused parity: {e4:.4f}"); assert e4 < 5e-2
+log("ALL KERNEL PARITIES OK")

@@ -26,18 +26,21 @@ _lib = None
 def _load_library():
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib or None  # False = failed before; never rebuild per call
     if not _SO_PATH.exists():
         try:
             subprocess.run(["sh", str(_NATIVE_DIR / "build.sh")], check=True,
                            capture_output=True)
         except Exception:
+            _lib = False
             return None
     if not _SO_PATH.exists():
+        _lib = False
         return None
     try:
         lib = ctypes.CDLL(str(_SO_PATH))
     except OSError:
+        _lib = False
         return None
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_open.argtypes = [ctypes.c_char_p]
@@ -71,21 +74,6 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
-def _probe_frames(path) -> int:
-    lib = _load_library()
-    h = lib.vd_open(str(path).encode())
-    if not h:
-        raise FileNotFoundError(f"cannot open video {path}")
-    n = ctypes.c_int()
-    w = ctypes.c_int()
-    hh = ctypes.c_int()
-    fps = ctypes.c_double()
-    lib.vd_info(h, ctypes.byref(n), ctypes.byref(w), ctypes.byref(hh),
-                ctypes.byref(fps))
-    lib.vd_close(h)
-    return max(n.value, 0)
-
-
 def read_video_frames(path, size: int = 256, stride: int = 1,
                       max_frames: int | None = None,
                       dtype=np.uint8) -> np.ndarray:
@@ -98,27 +86,39 @@ def read_video_frames(path, size: int = 256, stride: int = 1,
     path = str(path)
     lib = _load_library()
     if lib is not None:
-        cap_n = _probe_frames(path)
-        budget = (cap_n + stride - 1) // stride if cap_n else 1 << 16
-        if max_frames is not None:
-            budget = min(budget, max_frames)
+        # chunked reads: container frame counts lie both ways (0 for some
+        # encoders, under-reports for others) — never trust them for the
+        # allocation, and never truncate before the decoder says EOF
         h = lib.vd_open(path.encode())
         if not h:
             raise FileNotFoundError(f"cannot open video {path}")
+        chunks = []
+        total = 0
         try:
-            if dtype == np.uint8:
-                out = np.empty((budget, size, size, 3), np.uint8)
-                n = lib.vd_read_frames_u8(
-                    h, size, stride, budget,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-            else:
-                out = np.empty((budget, size, size, 3), np.float32)
-                n = lib.vd_read_frames_f32(
-                    h, size, stride, budget,
-                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            while max_frames is None or total < max_frames:
+                want = 256
+                if max_frames is not None:
+                    want = min(want, max_frames - total)
+                if dtype == np.uint8:
+                    buf = np.empty((want, size, size, 3), np.uint8)
+                    n = lib.vd_read_frames_u8(
+                        h, size, stride, want,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                else:
+                    buf = np.empty((want, size, size, 3), np.float32)
+                    n = lib.vd_read_frames_f32(
+                        h, size, stride, want,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                if n > 0:
+                    chunks.append(buf[:n].copy() if n < want else buf)
+                    total += n
+                if n < want:
+                    break
         finally:
             lib.vd_close(h)
-        return out[:n]
+        if not chunks:
+            return np.empty((0, size, size, 3), dtype)
+        return chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
 
     # python fallback (same cv2 build -> same pixels)
     import cv2

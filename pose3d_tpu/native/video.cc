@@ -28,6 +28,9 @@ namespace {
 
 struct Decoder {
   cv::VideoCapture cap;
+  // stride phase carries across read calls so chunked reads pick exactly
+  // the frames a single big read would
+  int idx = 0;
 };
 
 // centre-crop to square then resize to (size, size), BGR -> RGB.
@@ -79,9 +82,9 @@ int vd_read_frames_u8(void* handle, int size, int stride, int max_frames,
   auto* d = static_cast<Decoder*>(handle);
   const size_t frame_elems = static_cast<size_t>(size) * size * 3;
   cv::Mat bgr, rgb;
-  int written = 0, idx = 0;
+  int written = 0;
   while (written < max_frames && d->cap.read(bgr)) {
-    if (idx++ % stride) continue;
+    if (d->idx++ % stride) continue;
     CropResizeRgb(bgr, size, &rgb);
     std::memcpy(out + written * frame_elems, rgb.data, frame_elems);
     ++written;
@@ -95,9 +98,9 @@ int vd_read_frames_f32(void* handle, int size, int stride, int max_frames,
   auto* d = static_cast<Decoder*>(handle);
   const size_t frame_elems = static_cast<size_t>(size) * size * 3;
   cv::Mat bgr, rgb, f32;
-  int written = 0, idx = 0;
+  int written = 0;
   while (written < max_frames && d->cap.read(bgr)) {
-    if (idx++ % stride) continue;
+    if (d->idx++ % stride) continue;
     CropResizeRgb(bgr, size, &rgb);
     rgb.convertTo(f32, CV_32FC3, 1.0 / 256.0);
     std::memcpy(out + written * frame_elems, f32.ptr<float>(),

@@ -64,12 +64,23 @@ def _rows_per_cell(seq: int) -> int:
     return g * seq
 
 
-def _packed_kernel(qkv_ref, out_ref, *, seq, heads, dh, rows):
-    dim = heads * dh
-    qkv = qkv_ref[...]
+def block_diag_mask(rows: int, seq: int):
+    """(rows, rows) bool: True within each length-``seq`` diagonal block."""
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    mask = (r // seq) == (c // seq)
+    return (r // seq) == (c // seq)
+
+
+def masked_heads_attention(qkv, mask, heads, dh):
+    """Shared kernel-body helper: multi-head attention over packed rows.
+
+    qkv (rows, 3*heads*dh), column layout [q | k | v] with head h of each
+    at cols [h*dh, (h+1)*dh); mask (rows, rows) bool or None (full
+    attention). Scores/softmax f32, matmul accumulation f32, output in
+    qkv.dtype. Used inside the pallas_attention / pallas_lifter /
+    pallas_stblock kernels — one implementation of the softmax math.
+    """
+    dim = heads * dh
     scale = dh ** -0.5
     outs = []
     for h in range(heads):
@@ -79,14 +90,20 @@ def _packed_kernel(qkv_ref, out_ref, *, seq, heads, dh, rows):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = jnp.where(mask, s, -jnp.inf)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         a = e / jnp.sum(e, axis=-1, keepdims=True)
         outs.append(jax.lax.dot_general(
             a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(qkv.dtype))
-    out_ref[...] = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _packed_kernel(qkv_ref, out_ref, *, seq, heads, dh, rows):
+    out_ref[...] = masked_heads_attention(
+        qkv_ref[...], block_diag_mask(rows, seq), heads, dh)
 
 
 def _packed_flat_attention_fwd_impl(qkv, seq, heads, interpret):
@@ -139,24 +156,8 @@ packed_flat_attention.defvjp(_pfa_fwd, _pfa_bwd)
 
 
 def _seq_kernel(qkv_ref, out_ref, *, heads, dh, length):
-    dim = heads * dh
-    qkv = qkv_ref[0]
-    scale = dh ** -0.5
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, dim + h * dh:dim + (h + 1) * dh]
-        v = qkv[:, 2 * dim + h * dh:2 * dim + (h + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(qkv.dtype))
-    out_ref[0] = jnp.concatenate(outs, axis=-1)
+    del length  # block shape already pins it
+    out_ref[0] = masked_heads_attention(qkv_ref[0], None, heads, dh)
 
 
 def _xla_attention_3d(qkv, heads):

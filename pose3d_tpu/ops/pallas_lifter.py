@@ -105,31 +105,14 @@ def _gelu(x):
 def _packed_attention(qkv, mask):
     """qkv (ROWS, 768) bf16 -> attention output (ROWS, 256) bf16.
 
-    Heads unrolled statically: scores for the whole 32-frame cell are one
-    (544, 544) f32 MXU product masked to the 17x17 per-frame diagonal
-    blocks; the masked row softmax equals the per-frame softmax.
+    Scores for the whole 32-frame cell are one (544, 544) f32 MXU product
+    masked to the 17x17 per-frame diagonal blocks; the masked row softmax
+    equals the per-frame softmax. The softmax math lives in the shared
+    ops/pallas_attention.masked_heads_attention helper.
     """
-    scale = DIM_HEAD ** -0.5
-    head_outs = []
-    for h in range(HEADS):
-        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
-        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
-        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(mask, s, -jnp.inf)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=-1, keepdims=True)
-        head_outs.append(
-            jax.lax.dot_general(
-                a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(qkv.dtype)
-        )
-    return jnp.concatenate(head_outs, axis=-1)
+    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
+
+    return masked_heads_attention(qkv, mask, HEADS, DIM_HEAD)
 
 
 def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
@@ -138,10 +121,10 @@ def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
     per = 9  # weight tensors per block
     # PE-add lives in the kernel: pe_ref is the (ROWS, 256) table tiled to
     # the 17-token period (ROWS % 17 == 0, so it aligns at every grid cell).
+    from pose3d_tpu.ops.pallas_attention import block_diag_mask
+
     x = x_ref[...] + pe_ref[...]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-    mask = (rows // N_JOINTS) == (cols // N_JOINTS)
+    mask = block_diag_mask(ROWS, N_JOINTS)
     for blk in range(n_blocks):
         (lna_g, lna_b, lnb_g, lnb_b, w_qkv, w_proj, ln2_g, ln2_b, w1) = (
             wrefs[blk * per + i][...] for i in range(9))

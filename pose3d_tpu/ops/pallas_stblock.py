@@ -49,31 +49,18 @@ ROWS = 544  # 32 frames x 17 joint tokens
 
 def _spatial_kernel(x_ref, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
                     ln2_g, ln2_b, w1, b1, w2, b2, out_ref):
+    from pose3d_tpu.ops.pallas_attention import (
+        block_diag_mask,
+        masked_heads_attention,
+    )
+
     x = x_ref[...]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-    mask = (rows // N_JOINTS) == (cols // N_JOINTS)
-    scale = DIM_HEAD ** -0.5
+    mask = block_diag_mask(ROWS, N_JOINTS)
 
     y = _ln(x, lna_g[...][0], lna_b[...][0])
     qkv = (jnp.dot(y, w_qkv[...], preferred_element_type=jnp.float32)
            + b_qkv[...][0].astype(jnp.float32)).astype(x.dtype)
-    head_outs = []
-    for h in range(HEADS):
-        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
-        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
-        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = jnp.where(mask, s, -jnp.inf)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=-1, keepdims=True)
-        head_outs.append(jax.lax.dot_general(
-            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype))
-    attn = jnp.concatenate(head_outs, axis=-1)
+    attn = masked_heads_attention(qkv, mask, HEADS, DIM_HEAD)
     x = x + (jnp.dot(attn, w_proj[...], preferred_element_type=jnp.float32)
              + b_proj[...][0].astype(jnp.float32)).astype(x.dtype)
     y = _ln(x, ln2_g[...][0], ln2_b[...][0])
@@ -179,7 +166,7 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
         xt = tokens.reshape(c, t, j, DIM).transpose(0, 2, 1, 3) \
             .reshape(c * j * t, DIM)
         g, b = _v(bp["LayerNorm_2"]["scale"])[0], _v(bp["LayerNorm_2"]["bias"])[0]
-        y = _flat_ln(xt, g, b)
+        y = _ln(xt, g, b)
         att = bp["_MHSA_1"]
         qkv = y @ _m(att["Dense_0"]["kernel"]) + _v(att["Dense_0"]["bias"])[0]
         if interpret:
@@ -193,7 +180,7 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
         xt = xt + out @ _m(att["Dense_1"]["kernel"]) + \
             _v(att["Dense_1"]["bias"])[0]
         g, b = _v(bp["LayerNorm_3"]["scale"])[0], _v(bp["LayerNorm_3"]["bias"])[0]
-        y = _flat_ln(xt, g, b)
+        y = _ln(xt, g, b)
         mlp = bp["_MLP_1"]
         y = y @ _m(mlp["Dense_0"]["kernel"]) + _v(mlp["Dense_0"]["bias"])[0]
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(dt)
@@ -203,7 +190,7 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
             .reshape(c * t * j, DIM)
 
     g, b = _v(params["LayerNorm_0"]["scale"])[0], _v(params["LayerNorm_0"]["bias"])[0]
-    y = _flat_ln(tokens, g, b)
+    y = _ln(tokens, g, b)
     y = y @ _m(params["Dense_1"]["kernel"]) + _v(params["Dense_1"]["bias"])[0]
     y = jnp.maximum(y, 0)
     y = (y @ _m(params["Dense_2"]["kernel"])
@@ -211,7 +198,7 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
     return y.reshape(c, t, j, 3)
 
 
-def _flat_ln(x, g, b):
+def _ln(x, g, b):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)

@@ -24,9 +24,11 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     Clips of ``model.clip_len`` frames with ``stride`` overlap (default:
     clip_len//2); overlapping frame predictions are averaged; every frame
     is covered (``clip_starts`` anchors a final window at the tail).
-    ``use_pallas``: None (default) auto-enables the packed-attention
-    serving kernels on TPU (1.34x the XLA apply, ROUND2_NOTES); pass
-    True/False to force either path.
+    ``use_pallas``: None (default) auto-enables the Pallas serving path on
+    TPU — the fully-fused forward (1.69x the XLA apply, ROUND2_NOTES) for
+    the default architecture, the packed-attention kernels otherwise.
+    Forcing True is honored only on a TPU backend (the kernels do not
+    lower elsewhere); False always forces plain XLA.
     """
     import jax
     import jax.numpy as jnp
@@ -34,6 +36,8 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     from pose3d_tpu.models.temporal import clip_starts
 
     t_total = kp2d_px.shape[0]
+    if t_total == 0:
+        return np.zeros((0, 17, 3), np.float32)
     clip_len = min(model.clip_len, t_total)
     stride = stride or max(clip_len // 2, 1)
     kp = (kp2d_px / image_size).astype(np.float32)
@@ -42,6 +46,7 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    use_pallas = use_pallas and jax.default_backend() == "tpu"
 
     if (use_pallas and clip_len == model.clip_len and model.hidden == 256
             and model.heads == 8 and model.n_joints == 17):

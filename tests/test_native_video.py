@@ -79,6 +79,31 @@ class TestNativeVideoDecode:
         with pytest.raises(FileNotFoundError):
             native_video.read_video_frames(tmp_path / "nope.mp4")
 
+    def test_chunked_reads_with_stride(self, tmp_path_factory):
+        """>256 frames forces multiple internal read chunks; the stride
+        phase must carry across chunk boundaries (Decoder-held counter)."""
+        import cv2
+
+        path = tmp_path_factory.mktemp("vid2") / "long.mp4"
+        w, h, n = 64, 48, 300
+        writer = cv2.VideoWriter(str(path),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                                 (w, h))
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        for i in range(n):
+            writer.write(np.stack([(xx + i) % 256, (yy * 2) % 256,
+                                   (xx + yy + 2 * i) % 256],
+                                  -1).astype(np.uint8))
+        writer.release()
+        native = native_video.read_video_frames(path, size=32, stride=7)
+        assert native.shape[0] == 43  # ceil(300/7)
+        import unittest.mock
+
+        with unittest.mock.patch.object(native_video, "_load_library",
+                                        lambda: None):
+            python = native_video.read_video_frames(path, size=32, stride=7)
+        np.testing.assert_array_equal(native, python)
+
 
 def test_pipeline_extract_frames_uses_native(video_file, tmp_path):
     """pipeline.video.extract_frames must produce the reference layout

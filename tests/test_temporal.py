@@ -118,3 +118,15 @@ class TestMakeClips:
         # starts 0, 13 cover 0..39 only with the tail anchor (40-27=13 ->
         # dedup); any all-zero tail row means uncovered frames
         assert np.abs(out[-5:]).sum() > 0
+
+    def test_lift_sequence_empty_input(self, rng):
+        """T=0 (e.g. a video with zero detected frames) returns an empty
+        result instead of crashing on the coverage assert."""
+        from pose3d_tpu.pipeline.lift import lift_sequence
+
+        model = TemporalLifter(clip_len=27, hidden=32, n_blocks=1, heads=2)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 27, 17, 2)), train=False)["params"]
+        out = lift_sequence(params, model, np.zeros((0, 17, 2), np.float32))
+        assert out.shape == (0, 17, 3)

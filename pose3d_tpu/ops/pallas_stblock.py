@@ -1,27 +1,31 @@
-"""Pallas TPU kernel: fused SPATIAL sub-block of the temporal lifter, and
-the fully-fused serving forward built on it.
+"""Pallas TPU kernels: fused sub-blocks of the temporal lifter, and the
+fully-fused serving forward built on them.
 
 After the packed-attention kernels (ops/pallas_attention) took temporal
-serving from 47.8 to 35.7 ms (B=16), the remaining gap to the ~16 ms dense
-floor is the spatial branch's LN/MLP running on (N, 17, 256) activations —
-17 -> 32 sublane padding on every tensor (ROUND2_NOTES "packed-attention"
-section). This kernel applies the ops/pallas_lifter recipe to ONE
-SpatioTemporalBlock spatial sub-block:
+serving from 47.8 to 35.7 ms (B=16), the rest of the gap was the LN/MLP/
+qkv/proj HBM round-trips around them. Each SpatioTemporalBlock HALF
 
-    x = x + proj(attn(LN(x)))          # packed 17-token attention
+    x = x + proj(attn(LN(x)))          # attention sub-block
     x = x + mlp(LN(x))                 # 4x GELU MLP
 
-entirely in VMEM on flat (N*17, 256) rows — 544-row grid cells (32 frames),
-block-diagonal-masked attention, weights resident via constant index_map.
-Differences from the lifter trunk: single LN before attention (no double-LN
-quirk), qkv/proj carry biases, 8 heads of 32 (the temporal model's split).
+now runs as ONE kernel, entirely in VMEM, weights resident via constant
+index_map:
 
-``temporal_forward_fused`` then runs the whole TemporalLifter inference
-with: embed+PE and the temporal branch's LN/MLP in XLA on FLAT rows
-(unpadded), the spatial sub-block in this kernel, and the 243-frame
-temporal attention in ops/pallas_attention.seq_attention. Inference-only
-(serving); training keeps the flax module. Parity test:
-tests/test_pallas_stblock.py.
+- spatial half (`spatial_block_fused`): flat (N*17, 256) rows, 544-row
+  grid cells (32 frames), block-diagonal-masked 17-token attention —
+  the ops/pallas_lifter recipe. Differences from the lifter trunk:
+  single LN before attention (no double-LN quirk), qkv/proj biases,
+  8 heads of 32.
+- temporal half (`temporal_block_fused`): one 243-frame sequence per
+  grid cell via (1, L, 256) blocks (Mosaic pads L internally), full
+  attention.
+
+``temporal_forward_fused`` runs the whole TemporalLifter inference:
+embed+PE and head in XLA on flat rows, the ten sub-blocks in these
+kernels. Measured B=16 ladder (ROUND2_NOTES): XLA apply 47.9 ms ->
+attention kernels 35.8 -> +fused spatial 28.4 -> +fused temporal
+**23.6 ms (2.03x)**. Inference-only (serving); training keeps the flax
+module. Parity test: tests/test_pallas_stblock.py.
 
 Reference provenance: the block structure is this framework's native
 MotionBERT-equivalent (SURVEY.md section 5 long-context; reference
@@ -77,6 +81,49 @@ def _const_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _temporal_kernel(x_ref, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
+                     ln2_g, ln2_b, w1, b1, w2, b2, out_ref):
+    """One (clip, joint) sequence per grid cell: the whole temporal
+    sub-block (LN -> qkv -> full 243-frame attention -> proj -> residual
+    -> LN -> MLP -> residual) in VMEM."""
+    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
+
+    x = x_ref[0]
+    y = _ln(x, lna_g[...][0], lna_b[...][0])
+    qkv = (jnp.dot(y, w_qkv[...], preferred_element_type=jnp.float32)
+           + b_qkv[...][0].astype(jnp.float32)).astype(x.dtype)
+    attn = masked_heads_attention(qkv, None, HEADS, DIM_HEAD)
+    x = x + (jnp.dot(attn, w_proj[...], preferred_element_type=jnp.float32)
+             + b_proj[...][0].astype(jnp.float32)).astype(x.dtype)
+    y = _ln(x, ln2_g[...][0], ln2_b[...][0])
+    y = jnp.dot(y, w1[...], preferred_element_type=jnp.float32) + \
+        b1[...][0].astype(jnp.float32)
+    y = _gelu(y.astype(x.dtype))
+    x = x + (jnp.dot(y, w2[...], preferred_element_type=jnp.float32)
+             + b2[...][0].astype(jnp.float32)).astype(x.dtype)
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def temporal_block_fused(x3d, weights, *, interpret=False):
+    """x3d (n_seqs, L, 256) bf16 — one temporal sequence per grid cell;
+    weights: the 12-tuple packed by ``pack_temporal_weights``. L need not
+    be tile-aligned (Mosaic pads the block internally)."""
+    n, length, _ = x3d.shape
+    in_specs = [pl.BlockSpec((1, length, DIM), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_const_spec(w.shape) for w in weights]
+    return pl.pallas_call(
+        _temporal_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, length, DIM), x3d.dtype),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, length, DIM), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x3d, *weights)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def spatial_block_fused(x_flat, weights, *, interpret=False):
     """x_flat (n_frames*17, 256) bf16; weights: the 12-tuple packed by
@@ -129,6 +176,23 @@ def pack_spatial_weights(block_params) -> tuple:
     )
 
 
+def pack_temporal_weights(block_params) -> tuple:
+    """SpatioTemporalBlock params -> the temporal-kernel operand tuple
+    (LayerNorm_2, _MHSA_1.Dense_0/1, LayerNorm_3, _MLP_1.Dense_0/1)."""
+    att = block_params["_MHSA_1"]
+    mlp = block_params["_MLP_1"]
+    return (
+        _v(block_params["LayerNorm_2"]["scale"]),
+        _v(block_params["LayerNorm_2"]["bias"]),
+        _m(att["Dense_0"]["kernel"]), _v(att["Dense_0"]["bias"]),
+        _m(att["Dense_1"]["kernel"]), _v(att["Dense_1"]["bias"]),
+        _v(block_params["LayerNorm_3"]["scale"]),
+        _v(block_params["LayerNorm_3"]["bias"]),
+        _m(mlp["Dense_0"]["kernel"]), _v(mlp["Dense_0"]["bias"]),
+        _m(mlp["Dense_1"]["kernel"]), _v(mlp["Dense_1"]["bias"]),
+    )
+
+
 def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
                            interpret=False):
     """Fully-fused serving forward of the default TemporalLifter.
@@ -138,8 +202,6 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
     C — the spatial kernel row-pads internally). Returns (C, T, 17, 3)
     f32 — same contract as ``model.apply(..., train=False)``.
     """
-    from pose3d_tpu.ops.pallas_attention import seq_attention
-
     c, t, j, _ = clips.shape
     if j != N_JOINTS or t != clip_len:
         raise ValueError(f"expected (C, {clip_len}, {N_JOINTS}, 2), got "
@@ -161,31 +223,12 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
         # spatial sub-block: fused kernel on flat (C*T*17, 256) rows
         tokens = spatial_block_fused(
             tokens, pack_spatial_weights(bp), interpret=interpret)
-        # temporal sub-block: regroup rows by (clip, joint); LN/qkv/proj/
-        # MLP on flat rows (unpadded), attention one sequence per cell
+        # temporal sub-block: regroup rows by (clip, joint); whole
+        # sub-block fused, one 243-frame sequence per grid cell
         xt = tokens.reshape(c, t, j, DIM).transpose(0, 2, 1, 3) \
-            .reshape(c * j * t, DIM)
-        g, b = _v(bp["LayerNorm_2"]["scale"])[0], _v(bp["LayerNorm_2"]["bias"])[0]
-        y = _ln(xt, g, b)
-        att = bp["_MHSA_1"]
-        qkv = y @ _m(att["Dense_0"]["kernel"]) + _v(att["Dense_0"]["bias"])[0]
-        if interpret:
-            from pose3d_tpu.ops.pallas_attention import _xla_attention_flat
-
-            out = _xla_attention_flat(qkv, t, HEADS)
-        else:
-            out = seq_attention(
-                qkv.reshape(c * j, t, 3 * DIM), HEADS
-            ).reshape(c * j * t, DIM)
-        xt = xt + out @ _m(att["Dense_1"]["kernel"]) + \
-            _v(att["Dense_1"]["bias"])[0]
-        g, b = _v(bp["LayerNorm_3"]["scale"])[0], _v(bp["LayerNorm_3"]["bias"])[0]
-        y = _ln(xt, g, b)
-        mlp = bp["_MLP_1"]
-        y = y @ _m(mlp["Dense_0"]["kernel"]) + _v(mlp["Dense_0"]["bias"])[0]
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(dt)
-        xt = xt + y @ _m(mlp["Dense_1"]["kernel"]) + \
-            _v(mlp["Dense_1"]["bias"])[0]
+            .reshape(c * j, t, DIM)
+        xt = temporal_block_fused(xt, pack_temporal_weights(bp),
+                                  interpret=interpret)
         tokens = xt.reshape(c, j, t, DIM).transpose(0, 2, 1, 3) \
             .reshape(c * t * j, DIM)
 
@@ -197,10 +240,3 @@ def temporal_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
          + _v(params["Dense_2"]["bias"])[0]).astype(jnp.float32)
     return y.reshape(c, t, j, 3)
 
-
-def _ln(x, g, b):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
-    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)

@@ -25,7 +25,7 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     clip_len//2); overlapping frame predictions are averaged; every frame
     is covered (``clip_starts`` anchors a final window at the tail).
     ``use_pallas``: None (default) auto-enables the Pallas serving path on
-    TPU — the fully-fused forward (1.69x the XLA apply, ROUND2_NOTES) for
+    TPU — the fully-fused forward (2.03x the XLA apply, ROUND2_NOTES) for
     the default architecture, the packed-attention kernels otherwise.
     Forcing True is honored only on a TPU backend (the kernels do not
     lower elsewhere); False always forces plain XLA.
@@ -50,9 +50,9 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
 
     if (use_pallas and clip_len == model.clip_len and model.hidden == 256
             and model.heads == 8 and model.n_joints == 17):
-        # fully-fused serving forward: spatial sub-block megakernel +
-        # per-sequence temporal attention — 1.69x the XLA apply at B=16
-        # (ROUND2_NOTES); params identical, only the compute path moves
+        # fully-fused serving forward: spatial + temporal sub-block
+        # megakernels — 2.03x the XLA apply at B=16 (ROUND2_NOTES);
+        # params identical, only the compute path moves
         from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
 
         n_blocks, cl = model.n_blocks, model.clip_len

@@ -9,6 +9,9 @@ Workloads (BASELINE.json configs):
   3. temporal_train  — 243-frame temporal-transformer train step (config #3;
                        the reference delegates this to external MotionBERT —
                        no baseline number exists, vs_baseline is null)
+  4. temporal_infer  — 243-frame serving forward through the fused
+                       spatial+temporal sub-block kernels (the
+                       pipeline/lift video->3D path)
 
 stdout: exactly ONE JSON line — the headline lifting metric, with the other
 workloads nested under "extra". Human-readable logs go to stderr.
@@ -442,7 +445,7 @@ def main():
             "frames_per_s": round(ti_fps, 1),
             "xla_apply_frames_per_s": round(ti_xla_fps, 1),
             "vs_baseline": None,  # reference: external MotionBERT, no number
-            "config": "243-frame serving, fused spatial-block + packed attention, B=16 bf16",
+            "config": "243-frame serving, fused spatial+temporal sub-block kernels, B=16 bf16",
         }
     except Exception as e:  # noqa: BLE001
         _log(f"temporal infer bench FAILED: {type(e).__name__}: {e}")

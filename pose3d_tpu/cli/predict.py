@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--image_size", type=float, default=1000.0,
                    help="pixel scale when reading a video JSON")
+    p.add_argument("--heads", type=int, default=8,
+                   help="attention heads of a temporal checkpoint (not "
+                        "recoverable from param shapes; must match training)")
     args = p.parse_args(argv)
 
     import jax
@@ -54,12 +57,18 @@ def main(argv=None):
         from pose3d_tpu.models.temporal import TemporalLifter
         from pose3d_tpu.pipeline.lift import lift_sequence
 
-        model = TemporalLifter()
-        template = model.init(
-            {"params": jax.random.key(0)},
-            jnp.zeros((1, model.clip_len, 17, 2)), train=False,
-        )["params"]
-        params = ckpt.restore_params(args.log_dir, args.checkpoint, template)
+        # infer the architecture from the checkpoint itself — a template
+        # built from defaults breaks on any non-default checkpoint
+        raw = ckpt.peek_tree(args.log_dir, args.checkpoint)
+        params = raw["params"]
+        model = TemporalLifter(
+            hidden=int(params["Dense_0"]["kernel"].shape[1]),
+            n_blocks=sum(1 for k in params
+                         if str(k).startswith("SpatioTemporalBlock_")),
+            clip_len=int(params["temporal_pe"].shape[1]),
+            n_joints=int(params["spatial_pe"].shape[2]),
+            heads=args.heads,
+        )
         poses = lift_sequence(params, model, kp2d * args.image_size,
                               image_size=args.image_size)
     else:

@@ -88,6 +88,16 @@ def restore(state, log_dir, run_name: str):
     return state, meta
 
 
+def peek_tree(log_dir, run_name: str):
+    """Restore the raw checkpoint pytree WITHOUT a template — for
+    inference tooling that must adapt to whatever architecture the
+    checkpoint was trained with (cli.predict infers hidden/n_blocks/
+    clip_len from the param shapes)."""
+    path = _ckpt_dir(log_dir, run_name)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        return ckptr.restore(path)
+
+
 def restore_params(log_dir, run_name: str, params_template,
                    batch_stats_template=None):
     """Load only model params (+ batch stats): cross-model checkpoint reuse

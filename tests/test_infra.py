@@ -114,3 +114,36 @@ class TestRotateToGlobal:
             np.linalg.norm(out, axis=-1), np.linalg.norm(poses, axis=-1),
             rtol=1e-5,
         )
+
+
+class TestPredictArchInference:
+    def test_temporal_checkpoint_arch_inferred(self, tmp_path):
+        """cli.predict must reconstruct a NON-default TemporalLifter from
+        the checkpoint's param shapes (regression: it used to build the
+        default architecture and fail with ScopeParamShapeError)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pose3d_tpu.cli import predict
+        from pose3d_tpu.models.temporal import TemporalLifter
+        from pose3d_tpu.train import checkpoint as ckpt
+        from pose3d_tpu.train.state import create_train_state
+
+        model = TemporalLifter(clip_len=12, hidden=64, n_blocks=1, heads=2)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 12, 17, 2)), lr=1e-3)
+        ckpt.save(state, tmp_path, "arch_test")
+
+        kp = (np.random.default_rng(0).random((30, 17, 2)) * 900).astype(
+            np.float32)
+        np.save(tmp_path / "kp.npy", kp)
+        predict.main([
+            "--model", "temporal", "--heads", "2",
+            "--checkpoint", "arch_test", "--log_dir", str(tmp_path),
+            "--input", str(tmp_path / "kp.npy"),
+            "--output", str(tmp_path / "out.npy"),
+        ])
+        out = np.load(tmp_path / "out.npy")
+        assert out.shape == (30, 17, 3)
+        assert np.isfinite(out).all()

@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+
+from pose3d_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 
 from pose3d_tpu.models.resnet import ResNet, _bn
@@ -153,8 +155,9 @@ class ProjectionMLP(nn.Module):
         y = x.reshape(x.shape[0], -1).astype(self.dtype)
         for width in (512, 256, 128):
             y = nn.Dense(width, dtype=self.dtype)(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            y = BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(y)
             y = nn.tanh(y)
             y = nn.Dropout(0.3, deterministic=not train)(y)
-        return nn.Dense(self.out_dim, dtype=self.dtype)(y).astype(jnp.float32)
+        y = nn.Dense(self.out_dim, dtype=self.dtype)(y)
+        return y.astype(jnp.promote_types(self.dtype, jnp.float32))

@@ -32,6 +32,8 @@ come for free from GSPMD (SURVEY.md section 2.7).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from pose3d_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,7 +64,7 @@ class MartinezBlock(nn.Module):
         for _ in range(2):
             y = nn.Dense(self.size, dtype=self.dtype)(y)
             if self.use_bn:
-                y = nn.BatchNorm(
+                y = BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype,
                 )(y)
@@ -88,7 +90,7 @@ class MartinezLifter(nn.Module):
         y = x.reshape(x.shape[0], -1).astype(self.dtype)
         y = nn.Dense(self.hidden, dtype=self.dtype)(y)
         if self.use_bn:
-            y = nn.BatchNorm(
+            y = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,
             )(y)
@@ -99,7 +101,7 @@ class MartinezLifter(nn.Module):
                 self.hidden, self.dropout, self.use_bn, dtype=self.dtype
             )(y, train=train)
         y = nn.Dense(self.out_dim, dtype=self.dtype)(y)
-        return y.astype(jnp.float32)
+        return y.astype(jnp.promote_types(self.dtype, jnp.float32))
 
 
 class AELifter(nn.Module):
@@ -125,14 +127,14 @@ class AELifter(nn.Module):
         y = x.reshape(x.shape[0], -1).astype(self.dtype)
         for _ in range(3):  # encoder2 has 2 blocks, decoder2 one more
             y = nn.Dense(self.hidden, dtype=self.dtype)(y)
-            y = nn.BatchNorm(
+            y = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype,
             )(y)
             y = nn.relu(y)
             y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.out_dim, dtype=self.dtype)(y)
-        return y.astype(jnp.float32)
+        return y.astype(jnp.promote_types(self.dtype, jnp.float32))
 
 
 class JointAttention(nn.Module):
@@ -140,6 +142,11 @@ class JointAttention(nn.Module):
 
     Includes the module-local LayerNorm of the reference (lucidrains
     simple_vit style); qkv and output projections have no bias.
+
+    All LayerNorms in this file use epsilon=1e-5 — the torch default the
+    reference inherits (flax defaults to 1e-6; the mismatch was a real
+    ~1e-6-relative forward divergence, caught by the f64 train-step parity
+    tests in tests/test_reference_parity_train.py).
     """
 
     dim: int
@@ -149,7 +156,7 @@ class JointAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim_head = self.dim // self.heads
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype)(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -159,7 +166,8 @@ class JointAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * (dim_head ** -0.5)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        acc = jnp.promote_types(self.dtype, jnp.float32)
+        attn = nn.softmax(attn.astype(acc), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -178,9 +186,9 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x + JointAttention(self.dim, self.heads, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         )
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype)(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
@@ -225,4 +233,4 @@ class JointTransformerLifter(nn.Module):
         y = nn.Dense(self.hidden // 2, dtype=self.dtype)(tokens)
         y = nn.relu(y)
         y = nn.Dense(self.out_dim, dtype=self.dtype)(y)
-        return y.astype(jnp.float32)
+        return y.astype(jnp.promote_types(self.dtype, jnp.float32))

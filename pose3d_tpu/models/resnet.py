@@ -21,6 +21,8 @@ checkpoint exists locally (this image has no torchvision / no egress).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from pose3d_tpu.models.norm import BatchNorm
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,7 +37,7 @@ BOTTLENECK_ARCHS = ("resnet50", "resnet101", "resnet152")
 
 
 def _bn(train: bool, dtype, name=None):
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
         dtype=dtype, name=name,
     )

@@ -121,20 +121,20 @@ class SpatioTemporalBlock(nn.Module):
         xs = x.reshape(b * t, j, c)
         xs = xs + _MHSA(self.dim, self.heads, use_pallas=self.use_pallas,
                         dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(xs)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xs)
         )
         xs = xs + _MLP(self.dim, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(xs)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xs)
         )
         x = xs.reshape(b, t, j, c)
         # temporal: tokens = frames, batch = B*J
         xt = x.transpose(0, 2, 1, 3).reshape(b * j, t, c)
         xt = xt + _MHSA(self.dim, self.heads, flash=self.flash,
                         use_pallas=self.use_pallas, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(xt)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xt)
         )
         xt = xt + _MLP(self.dim, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(xt)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xt)
         )
         return xt.reshape(b, j, t, c).transpose(0, 2, 1, 3)
 
@@ -192,7 +192,7 @@ class TemporalLifter(nn.Module):
                           use_pallas=self.use_pallas,
                           dtype=self.dtype)(x)
             )
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = nn.Dense(self.hidden // 2, dtype=self.dtype)(x)
         y = nn.relu(y)
         return nn.Dense(self.out_dim, dtype=self.dtype)(y).astype(jnp.float32)

@@ -99,10 +99,11 @@ def soft_argmax_3d(logits, num_joints: int = 17, depth: int = GRID,
     b = logits.shape[0]
     hm = logits.reshape(b, num_joints, depth * height * width)
     # softmax in f32 for stability regardless of compute dtype
+    acc = jnp.promote_types(hm.dtype, jnp.float32)
     p = jnp.asarray(
         jnp.exp(
-            hm.astype(jnp.float32)
-            - jnp.max(hm, axis=-1, keepdims=True).astype(jnp.float32)
+            hm.astype(acc)
+            - jnp.max(hm, axis=-1, keepdims=True).astype(acc)
         )
     )
     p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -181,7 +182,8 @@ def soft_argmax_3d_nhwc(logits_nhwc, num_joints: int = 17, depth: int = GRID,
     Returns coords (B, J*3) with the reference scaling.
     """
     b, h, w, _ = logits_nhwc.shape
-    x = logits_nhwc.reshape(b, h, w, num_joints, depth).astype(jnp.float32)
+    x = logits_nhwc.reshape(b, h, w, num_joints, depth)
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     m = jnp.max(x, axis=(1, 2, 4), keepdims=True)
     p = jnp.exp(x - m)
     s = jnp.sum(p, axis=(1, 2, 4), keepdims=True)
@@ -201,8 +203,9 @@ def soft_argmax_2d(logits, num_joints: int = 17, height: int = GRID,
     b = logits.shape[0]
     hm = logits.reshape(b, num_joints, height * width)
     p = jnp.exp(
-        hm.astype(jnp.float32)
-        - jnp.max(hm, axis=-1, keepdims=True).astype(jnp.float32)
+        hm.astype(jnp.promote_types(hm.dtype, jnp.float32))
+        - jnp.max(hm, axis=-1, keepdims=True).astype(
+            jnp.promote_types(hm.dtype, jnp.float32))
     )
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     p = p.reshape(b, num_joints, height, width)

@@ -129,7 +129,7 @@ def spatial_block_fused(x_flat, weights, *, interpret=False):
     """x_flat (n_frames*17, 256) bf16; weights: the 12-tuple packed by
     ``pack_spatial_weights``. Rows are zero-padded to a whole number of
     544-row cells (padded rows form isolated all-zero frames under the
-    block-diagonal mask; LN of zeros is finite at eps=1e-6) and sliced
+    block-diagonal mask; LN of zeros is finite at eps=1e-5) and sliced
     off after."""
     n = x_flat.shape[0]
     pad = (-n) % ROWS
@@ -151,45 +151,45 @@ def spatial_block_fused(x_flat, weights, *, interpret=False):
     return out[:n] if pad else out
 
 
-def _v(g):
-    return jnp.asarray(g, jnp.bfloat16).reshape(1, -1)
+def _v(g, dtype=jnp.bfloat16):
+    return jnp.asarray(g, dtype).reshape(1, -1)
 
 
-def _m(g):
-    return jnp.asarray(g, jnp.bfloat16)
+def _m(g, dtype=jnp.bfloat16):
+    return jnp.asarray(g, dtype)
 
 
-def pack_spatial_weights(block_params) -> tuple:
+def pack_spatial_weights(block_params, dtype=jnp.bfloat16) -> tuple:
     """SpatioTemporalBlock params -> the kernel operand tuple (spatial
     half: LayerNorm_0, _MHSA_0.Dense_0/1, LayerNorm_1, _MLP_0.Dense_0/1)."""
     att = block_params["_MHSA_0"]
     mlp = block_params["_MLP_0"]
     return (
-        _v(block_params["LayerNorm_0"]["scale"]),
-        _v(block_params["LayerNorm_0"]["bias"]),
-        _m(att["Dense_0"]["kernel"]), _v(att["Dense_0"]["bias"]),
-        _m(att["Dense_1"]["kernel"]), _v(att["Dense_1"]["bias"]),
-        _v(block_params["LayerNorm_1"]["scale"]),
-        _v(block_params["LayerNorm_1"]["bias"]),
-        _m(mlp["Dense_0"]["kernel"]), _v(mlp["Dense_0"]["bias"]),
-        _m(mlp["Dense_1"]["kernel"]), _v(mlp["Dense_1"]["bias"]),
+        _v(block_params["LayerNorm_0"]["scale"], dtype),
+        _v(block_params["LayerNorm_0"]["bias"], dtype),
+        _m(att["Dense_0"]["kernel"], dtype), _v(att["Dense_0"]["bias"], dtype),
+        _m(att["Dense_1"]["kernel"], dtype), _v(att["Dense_1"]["bias"], dtype),
+        _v(block_params["LayerNorm_1"]["scale"], dtype),
+        _v(block_params["LayerNorm_1"]["bias"], dtype),
+        _m(mlp["Dense_0"]["kernel"], dtype), _v(mlp["Dense_0"]["bias"], dtype),
+        _m(mlp["Dense_1"]["kernel"], dtype), _v(mlp["Dense_1"]["bias"], dtype),
     )
 
 
-def pack_temporal_weights(block_params) -> tuple:
+def pack_temporal_weights(block_params, dtype=jnp.bfloat16) -> tuple:
     """SpatioTemporalBlock params -> the temporal-kernel operand tuple
     (LayerNorm_2, _MHSA_1.Dense_0/1, LayerNorm_3, _MLP_1.Dense_0/1)."""
     att = block_params["_MHSA_1"]
     mlp = block_params["_MLP_1"]
     return (
-        _v(block_params["LayerNorm_2"]["scale"]),
-        _v(block_params["LayerNorm_2"]["bias"]),
-        _m(att["Dense_0"]["kernel"]), _v(att["Dense_0"]["bias"]),
-        _m(att["Dense_1"]["kernel"]), _v(att["Dense_1"]["bias"]),
-        _v(block_params["LayerNorm_3"]["scale"]),
-        _v(block_params["LayerNorm_3"]["bias"]),
-        _m(mlp["Dense_0"]["kernel"]), _v(mlp["Dense_0"]["bias"]),
-        _m(mlp["Dense_1"]["kernel"]), _v(mlp["Dense_1"]["bias"]),
+        _v(block_params["LayerNorm_2"]["scale"], dtype),
+        _v(block_params["LayerNorm_2"]["bias"], dtype),
+        _m(att["Dense_0"]["kernel"], dtype), _v(att["Dense_0"]["bias"], dtype),
+        _m(att["Dense_1"]["kernel"], dtype), _v(att["Dense_1"]["bias"], dtype),
+        _v(block_params["LayerNorm_3"]["scale"], dtype),
+        _v(block_params["LayerNorm_3"]["bias"], dtype),
+        _m(mlp["Dense_0"]["kernel"], dtype), _v(mlp["Dense_0"]["bias"], dtype),
+        _m(mlp["Dense_1"]["kernel"], dtype), _v(mlp["Dense_1"]["bias"], dtype),
     )
 
 

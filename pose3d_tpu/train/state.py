@@ -55,21 +55,34 @@ class TrainState:
 
 
 def make_optimizer(
-    lr: float, kind: str = "adamw", weight_decay: float = 0.0,
+    lr: float, kind: str = "adamw", weight_decay: float | None = None,
     grad_clip: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW (train_1.py:39) or Adam with the reference's tiny weight decay
     (train_3.py uses Adam(weight_decay=1e-8)); optional global-norm gradient
-    clipping (the legacy main.py:467-468 clip flag)."""
+    clipping (the legacy main.py:467-468 clip flag).
+
+    ``weight_decay=None`` resolves to the torch default for the kind: the
+    reference constructs bare ``torch.optim.AdamW(lr=lr)`` (train_1.py:39),
+    whose default decoupled weight decay is 1e-2 — NOT optax.adamw's 1e-4 —
+    and ``torch.optim.Adam`` defaults to 0. Adam's weight decay is the
+    torch-coupled form (wd*p added to the gradient before the moment
+    updates), matching Adam(weight_decay=...) semantics exactly; AdamW's is
+    decoupled, matching torch AdamW. Both proven by one-step transplant
+    parity in tests/test_reference_parity_train.py.
+    """
     if kind not in ("adamw", "adam"):
         raise ValueError(kind)
+    if weight_decay is None:
+        weight_decay = 1e-2 if kind == "adamw" else 0.0
 
     def build(learning_rate):
         chain = []
         if grad_clip:
             chain.append(optax.clip_by_global_norm(grad_clip))
         if kind == "adamw":
-            chain.append(optax.adamw(learning_rate))
+            chain.append(optax.adamw(learning_rate,
+                                     weight_decay=weight_decay))
         else:
             if weight_decay:
                 chain.append(optax.add_decayed_weights(weight_decay))
@@ -81,7 +94,8 @@ def make_optimizer(
 
 def create_train_state(
     model, rng, example_input, lr: float, optimizer: str = "adamw",
-    weight_decay: float = 0.0, grad_clip: float = 0.0, train_kwargs=None,
+    weight_decay: float | None = None, grad_clip: float = 0.0,
+    train_kwargs=None,
 ) -> TrainState:
     # jit the init: eager init through a remote-dispatch backend (the axon
     # TPU tunnel) compiles every op individually — minutes for a ResNet

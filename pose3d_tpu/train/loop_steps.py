@@ -47,6 +47,7 @@ def make_loop_train_step(
     projector_apply: Optional[Callable] = None,
     *, triangle: bool = False, flip: bool = False, project: bool = False,
     triangle_mode: str = "sep", donate: bool = True,
+    return_grads: bool = False,
 ):
     """(LoopState, frames, y1 (B,17,2), y2 (B,17,3), rng) ->
     (LoopState, metrics).
@@ -135,6 +136,8 @@ def make_loop_train_step(
             "mpjpe_sums": losses.loss_mpjpe(y2_hat, y2),
             **terms,
         }
+        if return_grads:  # mesh-oracle tests inspect the all-reduced grads
+            metrics["g2d"], metrics["g3d"] = g2d, g3d
         return state.replace(net2d=net2d, net3d=net3d), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -41,4 +41,24 @@ tp = jax.jit(lambda r, xx: tm.init({"params": r}, xx))(jax.random.key(1), xc)["p
 want = np.asarray(jax.jit(lambda pp, xx: tm.apply({"params": pp}, xx))(tp, xc))
 got = np.asarray(jax.jit(lambda pp, xx: temporal_forward_fused(pp, xx))(tp, xc))
 e4 = np.abs(got - want).max(); log(f"temporal_forward_fused parity: {e4:.4f}"); assert e4 < 5e-2
+
+# 4. fused TRAIN forward + gradient contraction (round 3: Pallas fwd+bwd
+# sub-block kernels; full grad-tree parity is in
+# tests/test_pallas_stblock_train.py on CPU interpret)
+from pose3d_tpu.ops.pallas_stblock_train import temporal_train_forward_fused
+y_t = jnp.asarray(rng.random((2, 243, 17, 3)).astype(np.float32))
+def loss_flax(pp, xx):
+    return jnp.mean((tm.apply({"params": pp}, xx, train=True) - y_t) ** 2)
+def loss_fused(pp, xx):
+    return jnp.mean((temporal_train_forward_fused(pp, xx) - y_t) ** 2)
+lw, gw = jax.jit(jax.value_and_grad(loss_flax))(tp, xc)
+lg, gg = jax.jit(jax.value_and_grad(loss_fused))(tp, xc)
+e5 = abs(float(lg) - float(lw))
+log(f"fused-train loss parity: {e5:.5f} (flax {float(lw):.5f})"); assert e5 < 5e-3
+flat_w = jax.tree_util.tree_leaves(gw); flat_g = jax.tree_util.tree_leaves(gg)
+rels = [float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        for a, b in zip(flat_g, flat_w)]
+e6 = max(rels)
+log(f"fused-train grad parity (max rel-of-max over leaves): {e6:.4f}")
+assert e6 < 0.15  # bf16 grads, different accumulation orders
 log("ALL KERNEL PARITIES OK")

@@ -61,6 +61,16 @@ def train(cfg: TemporalConfig):
         model, jax.random.key(cfg.seed),
         jnp.zeros((2, cfg.clip_len, 17, 2)), lr=cfg.lr,
     )
+    if (cfg.use_pallas_train and jax.default_backend() == "tpu"
+            and cfg.hidden == 256 and cfg.heads == 8):
+        # fused Pallas fwd+bwd sub-blocks (remat-in-kernel, dW accumulated
+        # across grid cells) — same math, grad-parity tested
+        # (tests/test_pallas_stblock_train.py)
+        from pose3d_tpu.ops.pallas_stblock_train import make_fused_train_apply
+
+        state = state.replace(apply_fn=make_fused_train_apply(
+            n_blocks=cfg.n_blocks, clip_len=cfg.clip_len))
+        print("train step: fused Pallas sub-block kernels")
     state = jax.device_put(state, replicated(mesh))
     if cfg.resume and ckpt.exists(cfg.log_dir, cfg.run_name):
         state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
@@ -109,7 +119,15 @@ def train(cfg: TemporalConfig):
             lr=float(state.plateau.lr),
         )
 
-    path = ckpt.save(state, cfg.log_dir, cfg.run_name, batch_size=cfg.batch_size)
+    # heads is NOT recoverable from param shapes (qkv/proj are head-count
+    # independent) — persist it (and the shape-derivable fields, for
+    # debuggability) in the .meta.json sidecar so cli.predict can rebuild
+    # the exact architecture (ADVICE round 2)
+    path = ckpt.save(
+        state, cfg.log_dir, cfg.run_name, batch_size=cfg.batch_size,
+        extra={"heads": cfg.heads, "hidden": cfg.hidden,
+               "n_blocks": cfg.n_blocks, "clip_len": cfg.clip_len},
+    )
     logger.finish()
     print(f"saved {path}")
     return state

@@ -116,6 +116,11 @@ class TemporalConfig:
     batch_size: int = 16
     n_epochs: int = 30
     lr: float = 5e-4
+    # fused Pallas fwd+bwd sub-block kernels for the train step (TPU,
+    # default architecture only; ops/pallas_stblock_train). NOTE: the
+    # fused path computes in bf16 (f32 params/optimizer) — the standard
+    # TPU training precision, same as DirectConfig.bf16
+    use_pallas_train: bool = True
     run_name: str = "temporal_run"
     resume: bool = False
     loss: str = "mse"

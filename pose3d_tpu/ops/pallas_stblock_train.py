@@ -1,0 +1,535 @@
+"""Pallas TPU kernels: fused forward AND BACKWARD sub-blocks for the
+temporal lifter's TRAINING step (VERDICT round 2, item 3).
+
+Round 2 fused the serving forward (ops/pallas_stblock, 2.03x XLA) but left
+training on plain XLA at 15.6% MFU: the spatial half of every block runs
+LN/qkv/17-token-attention/proj/LN/MLP on (N, 17, 256) activations that XLA
+pads 17 -> 32 sublanes, and the (17,17) score tiles pad to (32,128) — in
+the FORWARD and the BACKWARD. A forward-only kernel cannot fix training:
+the custom_vjp XLA-recompute backward re-pays the tax (measured net slower,
+ROUND2_NOTES "packed-attention" section).
+
+This module implements the missing half: a Pallas BACKWARD kernel for the
+whole sub-block. Per grid cell it recomputes the forward from the saved
+block INPUT (remat-in-kernel — only x is saved, no intermediate
+activations round-trip HBM) and emits
+
+- ``dx`` for the cell's rows, and
+- all 12 weight/bias gradients, ACCUMULATED ACROSS GRID CELLS into
+  f32 outputs with constant index maps (TPU grid cells execute
+  sequentially, so init-at-cell-0 + accumulate is exact).
+
+Two instantiations share the math:
+- spatial: flat (n_frames*17, 256) rows, block-diagonal 17-token mask,
+  ``TRAIN_ROWS``-row cells;
+- temporal: one (clip, joint) 243-frame sequence per cell, full attention.
+
+``temporal_train_forward_fused`` rebuilds the differentiable TemporalLifter
+forward around these custom_vjp sub-blocks (embed/PE/head and the
+inter-branch regrouping stay in XLA); ``make_fused_train_apply`` adapts it
+to the TrainState.apply_fn contract so the standard jitted train step and
+the CLI/bench run it unchanged. Gradient parity vs the flax apply:
+tests/test_pallas_stblock_train.py (interpret mode on CPU).
+
+Numerical contract: matmul accumulation f32, LN/softmax/GELU-grad math
+f32, activations and row grads in the input dtype (bf16 in production),
+weight grads accumulated f32 and returned in the weights' dtype (matching
+what the XLA bf16 backward produces before the f32 param cast).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pose3d_tpu.ops.pallas_attention import block_diag_mask
+from pose3d_tpu.ops.pallas_lifter import _erf, _gelu
+from pose3d_tpu.ops.pallas_stblock import (
+    DIM,
+    DIM_HEAD,
+    HEADS,
+    MLP,
+    N_JOINTS,
+    pack_spatial_weights,
+    pack_temporal_weights,
+)
+
+# Rows per spatial grid cell in the TRAIN kernels. The backward holds
+# ~2.5x the forward's live set (score/da/ds f32 triples + dW accumulators):
+# 272 rows needs 18.45M scoped VMEM — over the 16M default, so the train
+# kernels raise the budget via CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+# (v5e has 128M physical VMEM; measured ladder in ROUND3_NOTES).
+TRAIN_ROWS = 272
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+_LN_EPS = 1e-5
+_INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _gelu_grad(x):
+    """d/dx of exact gelu: Phi(x) + x*phi(x); Phi via the same A&S erf
+    approximation the forward uses (1.5e-7 max err, under bf16 noise)."""
+    xf = x.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * xf * xf) * _INV_SQRT2PI
+    return 0.5 * (1.0 + _erf(xf / np.sqrt(2.0))) + xf * phi
+
+
+def _ln_fwd_stats(x):
+    """f32 LayerNorm forward pieces: (xhat, r) with biased variance."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    return (xf - mu) * r, r
+
+
+def _ln_bwd_input(dy_affine, xhat, r):
+    """dx of LayerNorm given d(xhat*g) (already multiplied by g)."""
+    m1 = jnp.mean(dy_affine, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy_affine * xhat, axis=-1, keepdims=True)
+    return r * (dy_affine - m1 - xhat * m2)
+
+
+def _dot(a, b, ta=False, tb=False):
+    """f32-accumulating matmul with optional transposes (no materialized
+    transpose: dot_general contracts the right axes directly)."""
+    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _subblock_fwd(x, mask, w, with_residuals=False):
+    """Forward of one sub-block on (R, DIM) rows. w = 12-tuple.
+
+    ``with_residuals`` additionally returns (x1, att) — the two
+    activations whose in-kernel recompute dominates the backward
+    (the per-head score/softmax/AV loop); saving them costs 2 (R, DIM)
+    HBM round-trips vs ~half the backward's attention compute.
+    """
+    (g1, b1, w_qkv, b_qkv, w_p, b_p, g2, b2, w_1, b_1, w_2, b_2) = w
+    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
+
+    dt = x.dtype
+    xhat1, _ = _ln_fwd_stats(x)
+    y = (xhat1 * g1.astype(jnp.float32) + b1.astype(jnp.float32)).astype(dt)
+    qkv = (_dot(y, w_qkv) + b_qkv.astype(jnp.float32)).astype(dt)
+    att = masked_heads_attention(qkv, mask, HEADS, DIM_HEAD)
+    x1 = x + (_dot(att, w_p) + b_p.astype(jnp.float32)).astype(dt)
+    xhat2, _ = _ln_fwd_stats(x1)
+    y2 = (xhat2 * g2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(dt)
+    h = _dot(y2, w_1) + b_1.astype(jnp.float32)
+    hg = _gelu(h.astype(dt))
+    out = x1 + (_dot(hg, w_2) + b_2.astype(jnp.float32)).astype(dt)
+    if with_residuals:
+        return out, x1, att
+    return out
+
+
+def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
+    """Recompute-forward backward of one sub-block.
+
+    ``x1``/``att`` are the residuals saved by the forward kernel; when
+    None (not saved) they are recomputed here, costing an extra per-head
+    score/softmax/AV pass. Returns (dx, (dg1, db1, dwqkv, dbqkv, dwp,
+    dbp, dg2, db2, dw1, db1f, dw2, db2f)) — row grads in x.dtype, weight
+    grads f32.
+    """
+    (g1, b1, w_qkv, b_qkv, w_p, b_p, g2, b2, w_1, b_1, w_2, b_2) = w
+    dt = x.dtype
+    scale = DIM_HEAD ** -0.5
+
+    # ---- recompute forward (keeping what the backward needs)
+    xhat1, r1 = _ln_fwd_stats(x)
+    g1f, g2f = g1.astype(jnp.float32), g2.astype(jnp.float32)
+    y = (xhat1 * g1f + b1.astype(jnp.float32)).astype(dt)
+    qkv = (_dot(y, w_qkv) + b_qkv.astype(jnp.float32)).astype(dt)
+
+    def head_slices(h):
+        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
+        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
+        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
+        return q, k, v
+
+    def head_probs(q, k):
+        s = _dot(q, k, tb=True) * scale
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        return e / jnp.sum(e, axis=-1, keepdims=True)  # f32 (R, R)
+
+    if att is None:
+        att_heads = []
+        for h in range(HEADS):
+            q, k, v = head_slices(h)
+            a = head_probs(q, k)
+            att_heads.append(_dot(a.astype(dt), v).astype(dt))
+        att = jnp.concatenate(att_heads, axis=-1)  # (R, DIM) dt
+    if x1 is None:
+        x1 = x + (_dot(att, w_p) + b_p.astype(jnp.float32)).astype(dt)
+    xhat2, r2 = _ln_fwd_stats(x1)
+    y2 = (xhat2 * g2f + b2.astype(jnp.float32)).astype(dt)
+    h_pre = _dot(y2, w_1) + b_1.astype(jnp.float32)  # f32 (R, MLP)
+    hg = _gelu(h_pre.astype(dt))  # dt (R, MLP)
+
+    # ---- backward
+    doutf = dout.astype(jnp.float32)
+    # MLP half: out = x1 + hg @ w2 + b2
+    dw2 = _dot(hg, dout, ta=True)
+    db2f = jnp.sum(doutf, axis=0, keepdims=True)
+    dhg = _dot(dout, w_2, tb=True)  # f32 (R, MLP)
+    dh = (dhg * _gelu_grad(h_pre)).astype(dt)
+    dw1 = _dot(y2, dh, ta=True)
+    db1f = jnp.sum(dh.astype(jnp.float32), axis=0, keepdims=True)
+    dy2 = _dot(dh, w_1, tb=True)  # f32 (R, DIM)
+    dg2 = jnp.sum(dy2 * xhat2, axis=0, keepdims=True)
+    db2 = jnp.sum(dy2, axis=0, keepdims=True)
+    dx1 = doutf + _ln_bwd_input(dy2 * g2f, xhat2, r2)  # f32 (R, DIM)
+
+    # proj half: x1 = x + att @ wp + bp
+    dx1_dt = dx1.astype(dt)
+    dwp = _dot(att, dx1_dt, ta=True)
+    dbp = jnp.sum(dx1, axis=0, keepdims=True)
+    datt = _dot(dx1_dt, w_p, tb=True)  # f32 (R, DIM)
+
+    # attention backward, head by head (recompute a per head)
+    dq_heads, dk_heads, dv_heads = [], [], []
+    for h in range(HEADS):
+        q, k, v = head_slices(h)
+        a = head_probs(q, k)
+        a_dt = a.astype(dt)
+        do = datt[:, h * DIM_HEAD:(h + 1) * DIM_HEAD].astype(dt)
+        dv_heads.append(_dot(a_dt, do, ta=True))
+        da = _dot(do, v, tb=True)  # f32 (R, R)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        ds_dt = ds.astype(dt)
+        dq_heads.append(_dot(ds_dt, k) * scale)
+        dk_heads.append(_dot(ds_dt, q, ta=True) * scale)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_heads, axis=-1),
+         jnp.concatenate(dk_heads, axis=-1),
+         jnp.concatenate(dv_heads, axis=-1)], axis=-1)  # f32 (R, 3*DIM)
+    dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
+    dqkv_dt = dqkv.astype(dt)
+    dwqkv = _dot(y, dqkv_dt, ta=True)
+    dy = _dot(dqkv_dt, w_qkv, tb=True)  # f32 (R, DIM)
+    dg1 = jnp.sum(dy * xhat1, axis=0, keepdims=True)
+    db1 = jnp.sum(dy, axis=0, keepdims=True)
+    dx = dx1 + _ln_bwd_input(dy * g1f, xhat1, r1)
+
+    return dx.astype(dt), (dg1, db1, dwqkv, dbqkv, dwp, dbp, dg2, db2,
+                           dw1, db1f, dw2, db2f)
+
+
+# weight-grad output shapes (f32), in pack order
+_DW_SHAPES = (
+    (1, DIM), (1, DIM),            # ln1 g/b
+    (DIM, 3 * DIM), (1, 3 * DIM),  # qkv
+    (DIM, DIM), (1, DIM),          # proj
+    (1, DIM), (1, DIM),            # ln2 g/b
+    (DIM, MLP), (1, MLP),          # fc1
+    (MLP, DIM), (1, DIM),          # fc2
+)
+
+
+def _norm_weight_values(refs):
+    """Read 12 weight refs: (1, n) rows -> (n,) vectors, matrices as-is."""
+    vals = []
+    for r in refs:
+        v = r[...]
+        if v.ndim == 2 and v.shape[0] == 1:
+            v = v[0]
+        vals.append(v)
+    return tuple(vals)
+
+
+def _spatial_fwd_kernel(x_ref, *refs, rows):
+    w = _norm_weight_values(refs[:-3])
+    out_ref, x1_ref, att_ref = refs[-3:]
+    out, x1, att = _subblock_fwd(
+        x_ref[...], block_diag_mask(rows, N_JOINTS), w, with_residuals=True)
+    out_ref[...] = out
+    x1_ref[...] = x1
+    att_ref[...] = att
+
+
+def _spatial_bwd_kernel(x_ref, x1_ref, att_ref, dout_ref, *refs, rows):
+    w_refs, out_refs = refs[:12], refs[12:]
+    dx_ref, dw_refs = out_refs[0], out_refs[1:]
+    w = _norm_weight_values(w_refs)
+    dx, dws = _subblock_bwd(x_ref[...], dout_ref[...],
+                            block_diag_mask(rows, N_JOINTS), w,
+                            x1=x1_ref[...], att=att_ref[...])
+    dx_ref[...] = dx
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref, dw in zip(dw_refs, dws):
+            ref[...] = dw.reshape(ref.shape)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for ref, dw in zip(dw_refs, dws):
+            ref[...] += dw.reshape(ref.shape)
+
+
+def _temporal_fwd_kernel(x_ref, *refs):
+    w = _norm_weight_values(refs[:-3])
+    out_ref, x1_ref, att_ref = refs[-3:]
+    out, x1, att = _subblock_fwd(x_ref[0], None, w, with_residuals=True)
+    out_ref[0] = out
+    x1_ref[0] = x1
+    att_ref[0] = att
+
+
+def _temporal_bwd_kernel(x_ref, x1_ref, att_ref, dout_ref, *refs):
+    w_refs, out_refs = refs[:12], refs[12:]
+    dx_ref, dw_refs = out_refs[0], out_refs[1:]
+    w = _norm_weight_values(w_refs)
+    dx, dws = _subblock_bwd(x_ref[0], dout_ref[0], None, w,
+                            x1=x1_ref[0], att=att_ref[0])
+    dx_ref[0] = dx
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref, dw in zip(dw_refs, dws):
+            ref[...] = dw.reshape(ref.shape)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for ref, dw in zip(dw_refs, dws):
+            ref[...] += dw.reshape(ref.shape)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _pad_rows(x, rows):
+    n = x.shape[0]
+    pad = (-n) % rows
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    return x, pad
+
+
+def _spatial_fwd_impl(x_flat, weights, interpret):
+    """Forward + residuals; returns (out (n, DIM), residuals) where the
+    residuals (xp, x1p, attp) stay ROW-PADDED so the backward reuses them
+    without re-padding."""
+    n = x_flat.shape[0]
+    xp, pad = _pad_rows(x_flat, TRAIN_ROWS)
+    row_spec = pl.BlockSpec((TRAIN_ROWS, DIM), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [row_spec] + [_const_spec(w.shape) for w in weights]
+    shape = jax.ShapeDtypeStruct((n + pad, DIM), x_flat.dtype)
+    out, x1p, attp = pl.pallas_call(
+        functools.partial(_spatial_fwd_kernel, rows=TRAIN_ROWS),
+        out_shape=[shape, shape, shape],
+        grid=((n + pad) // TRAIN_ROWS,),
+        in_specs=in_specs,
+        out_specs=[row_spec, row_spec, row_spec],
+        interpret=interpret,
+    )(xp, *weights)
+    return (out[:n] if pad else out), (xp, x1p, attp)
+
+
+def _spatial_bwd_impl(res, dout, weights, interpret):
+    xp, x1p, attp = res
+    n = dout.shape[0]
+    pad = xp.shape[0] - n
+    dp, _ = _pad_rows(dout, TRAIN_ROWS)
+    row_spec = pl.BlockSpec((TRAIN_ROWS, DIM), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [row_spec] * 4 + [_const_spec(w.shape) for w in weights]
+    out_shapes = [jax.ShapeDtypeStruct((n + pad, DIM), dout.dtype)]
+    out_specs = [row_spec]
+    for shape in _DW_SHAPES:
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+        out_specs.append(_const_spec(shape))
+    outs = pl.pallas_call(
+        functools.partial(_spatial_bwd_kernel, rows=TRAIN_ROWS),
+        out_shape=out_shapes,
+        grid=((n + pad) // TRAIN_ROWS,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xp, x1p, attp, dp, *weights)
+    dx = outs[0][:n] if pad else outs[0]
+    return dx, outs[1:]
+
+
+def _temporal_fwd_impl(x3d, weights, interpret):
+    n, length, _ = x3d.shape
+    seq_spec = pl.BlockSpec((1, length, DIM), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [seq_spec] + [_const_spec(w.shape) for w in weights]
+    shape = jax.ShapeDtypeStruct((n, length, DIM), x3d.dtype)
+    out, x1p, attp = pl.pallas_call(
+        _temporal_fwd_kernel,
+        out_shape=[shape, shape, shape],
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=[seq_spec, seq_spec, seq_spec],
+        interpret=interpret,
+    )(x3d, *weights)
+    return out, (x3d, x1p, attp)
+
+
+def _temporal_bwd_impl(res, dout, weights, interpret):
+    x3d, x1p, attp = res
+    n, length, _ = x3d.shape
+    seq_spec = pl.BlockSpec((1, length, DIM), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [seq_spec] * 4 + [_const_spec(w.shape) for w in weights]
+    out_shapes = [jax.ShapeDtypeStruct((n, length, DIM), x3d.dtype)]
+    out_specs = [seq_spec]
+    for shape in _DW_SHAPES:
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+        out_specs.append(_const_spec(shape))
+    outs = pl.pallas_call(
+        _temporal_bwd_kernel,
+        out_shape=out_shapes,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x3d, x1p, attp, dout, *weights)
+    return outs[0], outs[1:]
+
+
+def _cast_dws(dws, weights):
+    """f32 accumulators -> cotangents matching the primal weight
+    shapes/dtypes ((1, n) rows stay (1, n))."""
+    return tuple(
+        dw.reshape(w.shape).astype(w.dtype) for dw, w in zip(dws, weights)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def spatial_block_train(x_flat, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9,
+                        w10, w11, interpret=False):
+    """Differentiable fused spatial sub-block on flat (n*17, 256) rows.
+
+    Forward AND backward are Pallas kernels; weight grads are accumulated
+    across grid cells inside the backward kernel.
+    """
+    out, _ = _spatial_fwd_impl(
+        x_flat, (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11),
+        interpret)
+    return out
+
+
+def _sbt_bwd(interpret, res, g):
+    saved, weights = res
+    dx, dws = _spatial_bwd_impl(saved, g, weights, interpret)
+    return (dx, *_cast_dws(dws, weights))
+
+
+def _sbt_fwd_wrapped(x_flat, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10,
+                     w11, interpret):
+    weights = (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
+    out, saved = _spatial_fwd_impl(x_flat, weights, interpret)
+    return out, (saved, weights)
+
+
+spatial_block_train.defvjp(_sbt_fwd_wrapped, _sbt_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def temporal_block_train(x3d, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10,
+                         w11, interpret=False):
+    """Differentiable fused temporal sub-block: one (clip, joint)
+    sequence per grid cell, full attention over the clip length."""
+    out, _ = _temporal_fwd_impl(
+        x3d, (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11), interpret)
+    return out
+
+
+def _tbt_fwd(x3d, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11,
+             interpret):
+    weights = (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
+    out, saved = _temporal_fwd_impl(x3d, weights, interpret)
+    return out, (saved, weights)
+
+
+def _tbt_bwd(interpret, res, g):
+    saved, weights = res
+    dx, dws = _temporal_bwd_impl(saved, g, weights, interpret)
+    return (dx, *_cast_dws(dws, weights))
+
+
+temporal_block_train.defvjp(_tbt_fwd, _tbt_bwd)
+
+
+def temporal_train_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
+                                 interpret=False):
+    """Differentiable fully-fused TemporalLifter forward for TRAINING.
+
+    Same value contract as ``TemporalLifter().apply(..., train=True)`` for
+    the default architecture (17 joints, hidden 256, heads 8): embed + PE
+    and the output head run in XLA on flat rows; every SpatioTemporalBlock
+    runs as two fused Pallas sub-blocks whose custom_vjp backward is ALSO
+    a Pallas kernel (remat-in-kernel: only block inputs are saved).
+    clips: (B, T, 17, 2) f32, T == clip_len. Returns (B, T, 17, 3) f32.
+    """
+    b, t, j, _ = clips.shape
+    if j != N_JOINTS or t != clip_len:
+        raise ValueError(f"expected (B, {clip_len}, {N_JOINTS}, 2), got "
+                         f"{clips.shape}")
+    dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    x = clips.reshape(b * t * j, 2).astype(dt)
+    w_e = jnp.asarray(params["Dense_0"]["kernel"], dt)
+    b_e = jnp.asarray(params["Dense_0"]["bias"], dt)
+    tokens = x @ w_e + b_e
+    pe = (jnp.asarray(params["spatial_pe"], dt)[0, 0][None]
+          + jnp.asarray(params["temporal_pe"], dt)[0, :t][:, None])
+    tokens = tokens + jnp.tile(pe.reshape(t * j, DIM), (b, 1))
+
+    def pack(block_params, packer):
+        return packer(block_params, dtype=dt)
+
+    for blk in range(n_blocks):
+        bp = params[f"SpatioTemporalBlock_{blk}"]
+        tokens = spatial_block_train(
+            tokens, *pack(bp, pack_spatial_weights), interpret)
+        xt = tokens.reshape(b, t, j, DIM).transpose(0, 2, 1, 3) \
+            .reshape(b * j, t, DIM)
+        xt = temporal_block_train(
+            xt, *pack(bp, pack_temporal_weights), interpret)
+        tokens = xt.reshape(b, j, t, DIM).transpose(0, 2, 1, 3) \
+            .reshape(b * t * j, DIM)
+
+    gf = jnp.asarray(params["LayerNorm_0"]["scale"], jnp.float32)
+    bf = jnp.asarray(params["LayerNorm_0"]["bias"], jnp.float32)
+    xhat, _ = _ln_fwd_stats(tokens)
+    y = (xhat * gf + bf).astype(dt)
+    y = y @ jnp.asarray(params["Dense_1"]["kernel"], dt) \
+        + jnp.asarray(params["Dense_1"]["bias"], dt)
+    y = jnp.maximum(y, 0)
+    y = (y @ jnp.asarray(params["Dense_2"]["kernel"], dt)
+         + jnp.asarray(params["Dense_2"]["bias"], dt)).astype(jnp.float32)
+    return y.reshape(b, t, j, 3)
+
+
+def make_fused_train_apply(n_blocks=5, clip_len=243, interpret=False):
+    """TrainState.apply_fn adapter: (variables, x, train=..., rngs=...) ->
+    fused differentiable forward (the model has no batch_stats/dropout)."""
+    def apply_fn(variables, x, train=False, rngs=None, mutable=None):
+        del train, rngs, mutable
+        return temporal_train_forward_fused(
+            variables["params"], x, n_blocks=n_blocks, clip_len=clip_len,
+            interpret=interpret)
+
+    return apply_fn

@@ -33,9 +33,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--image_size", type=float, default=1000.0,
                    help="pixel scale when reading a video JSON")
-    p.add_argument("--heads", type=int, default=8,
-                   help="attention heads of a temporal checkpoint (not "
-                        "recoverable from param shapes; must match training)")
+    p.add_argument("--heads", type=int, default=None,
+                   help="attention heads of a temporal checkpoint; default "
+                        "reads the checkpoint's .meta.json sidecar (written "
+                        "at train time — heads is not recoverable from "
+                        "param shapes), falling back to 8")
     args = p.parse_args(argv)
 
     import jax
@@ -58,16 +60,19 @@ def main(argv=None):
         from pose3d_tpu.pipeline.lift import lift_sequence
 
         # infer the architecture from the checkpoint itself — a template
-        # built from defaults breaks on any non-default checkpoint
-        raw = ckpt.peek_tree(args.log_dir, args.checkpoint)
-        params = raw["params"]
+        # built from defaults breaks on any non-default checkpoint. heads
+        # is the one field param shapes can't recover: the trainer persists
+        # it in the .meta.json sidecar; --heads overrides.
+        params = ckpt.peek_params(args.log_dir, args.checkpoint)
+        meta = ckpt.load_meta(args.log_dir, args.checkpoint)
+        heads = args.heads if args.heads is not None else meta.get("heads", 8)
         model = TemporalLifter(
             hidden=int(params["Dense_0"]["kernel"].shape[1]),
             n_blocks=sum(1 for k in params
                          if str(k).startswith("SpatioTemporalBlock_")),
             clip_len=int(params["temporal_pe"].shape[1]),
             n_joints=int(params["spatial_pe"].shape[2]),
-            heads=args.heads,
+            heads=heads,
         )
         poses = lift_sequence(params, model, kp2d * args.image_size,
                               image_size=args.image_size)

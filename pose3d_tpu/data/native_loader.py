@@ -10,29 +10,37 @@ build it) is unavailable, so nothing hard-depends on the native path.
 from __future__ import annotations
 
 import ctypes
+import logging
 import pathlib
-import subprocess
 
 import numpy as np
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libposeloader.so"
 _lib = None
+_log = logging.getLogger(__name__)
 
 
 def _load_library():
+    """CDLL the pre-built library; never builds as a side effect (build
+    explicitly with ``python -m pose3d_tpu.data.native_build``)."""
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib or None
     if not _SO_PATH.exists():
-        try:
-            subprocess.run(["sh", str(_NATIVE_DIR / "build.sh")], check=True,
-                           capture_output=True)
-        except Exception:
-            return None
+        _lib = False
+        _log.warning(
+            "native loader library %s not built; falling back to cv2 "
+            "(run `python -m pose3d_tpu.data.native_build` to build it)",
+            _SO_PATH,
+        )
+        return None
     try:
         lib = ctypes.CDLL(str(_SO_PATH))
-    except OSError:
+    except OSError as e:
+        _lib = False
+        _log.warning("native loader library failed to load (%s); "
+                     "falling back to cv2", e)
         return None
     lib.pl_create.restype = ctypes.c_void_p
     lib.pl_create.argtypes = [ctypes.c_int, ctypes.c_int]

@@ -13,34 +13,38 @@ so outputs are bit-identical.
 from __future__ import annotations
 
 import ctypes
+import logging
 import pathlib
-import subprocess
 
 import numpy as np
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
 _SO_PATH = _NATIVE_DIR / "libposevideo.so"
 _lib = None
+_log = logging.getLogger(__name__)
 
 
 def _load_library():
+    """CDLL the pre-built library; never builds as a side effect (build
+    explicitly with ``python -m pose3d_tpu.data.native_build``). The
+    fallback is logged once, not silently swallowed."""
     global _lib
     if _lib is not None:
-        return _lib or None  # False = failed before; never rebuild per call
-    if not _SO_PATH.exists():
-        try:
-            subprocess.run(["sh", str(_NATIVE_DIR / "build.sh")], check=True,
-                           capture_output=True)
-        except Exception:
-            _lib = False
-            return None
+        return _lib or None  # False = failed before; never retry per call
     if not _SO_PATH.exists():
         _lib = False
+        _log.warning(
+            "native video library %s not built; falling back to python cv2 "
+            "(run `python -m pose3d_tpu.data.native_build` to build it)",
+            _SO_PATH,
+        )
         return None
     try:
         lib = ctypes.CDLL(str(_SO_PATH))
-    except OSError:
+    except OSError as e:
         _lib = False
+        _log.warning("native video library failed to load (%s); "
+                     "falling back to python cv2", e)
         return None
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_open.argtypes = [ctypes.c_char_p]

@@ -26,9 +26,13 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     is covered (``clip_starts`` anchors a final window at the tail).
     ``use_pallas``: None (default) auto-enables the Pallas serving path on
     TPU — the fully-fused forward (2.03x the XLA apply, ROUND2_NOTES) for
-    the default architecture, the packed-attention kernels otherwise.
-    Forcing True is honored only on a TPU backend (the kernels do not
-    lower elsewhere); False always forces plain XLA.
+    the default architecture, the packed-attention kernels otherwise —
+    but ONLY for a bfloat16 model: the fused kernels compute in bf16, and
+    an f32 model must keep f32 numerics unless the caller explicitly opts
+    in (outputs shift ~1e-2 relative otherwise, which can move MPJPE
+    evaluations run through this path). Forcing True is honored only on a
+    TPU backend (the kernels do not lower elsewhere); False always forces
+    plain XLA.
     """
     import jax
     import jax.numpy as jnp
@@ -45,7 +49,8 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     clips = make_clips(kp, clip_len, stride)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and model.dtype == jnp.bfloat16)
     use_pallas = use_pallas and jax.default_backend() == "tpu"
 
     if (use_pallas and clip_len == model.clip_len and model.hidden == 256

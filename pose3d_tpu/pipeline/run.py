@@ -103,7 +103,10 @@ def main(argv=None):
         from pose3d_tpu.train import checkpoint as ckpt
         from pose3d_tpu.train.state import create_train_state
 
-        lifter = TemporalLifter()
+        # serving path: bf16 compute opts the lifter into the fused Pallas
+        # forward on TPU (lift_sequence gates the kernels on model.dtype —
+        # an f32 model keeps f32 XLA numerics)
+        lifter = TemporalLifter(dtype=jnp.bfloat16)
         state = create_train_state(
             lifter, jax.random.key(0),
             jnp.zeros((1, lifter.clip_len, 17, 2)), lr=1e-3,

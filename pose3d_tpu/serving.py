@@ -44,7 +44,11 @@ class LifterService:
             MartinezLifter,
         )
 
+        # the fused kernels compute in bf16: auto-route ONLY bf16 models so
+        # an f32 model keeps f32 numerics (ADVICE round 2; MPJPE evals can
+        # shift ~1e-2 relative otherwise)
         if (use_fused_martinez and isinstance(model, MartinezLifter)
+                and model.dtype == jnp.bfloat16
                 and self.batch_stats and jax.default_backend() == "tpu"):
             from pose3d_tpu.ops.pallas_martinez import (
                 build_fused_params,
@@ -59,6 +63,7 @@ class LifterService:
             fused = run
 
         if (use_fused_vit and isinstance(model, JointTransformerLifter)
+                and model.dtype == jnp.bfloat16
                 # the kernel hardcodes the default architecture — every
                 # field it bakes in must match, notably heads (the qkv/proj
                 # param SHAPES are head-count-independent, so a mismatch

@@ -88,14 +88,31 @@ def restore(state, log_dir, run_name: str):
     return state, meta
 
 
-def peek_tree(log_dir, run_name: str):
-    """Restore the raw checkpoint pytree WITHOUT a template — for
-    inference tooling that must adapt to whatever architecture the
-    checkpoint was trained with (cli.predict infers hidden/n_blocks/
-    clip_len from the param shapes)."""
+def peek_params(log_dir, run_name: str):
+    """Load ONLY the ``params`` subtree of a checkpoint whose architecture
+    is unknown: the tree structure/shapes come from the checkpoint's
+    metadata (no array reads), then a partial restore materializes just the
+    params — inference tooling (cli.predict) adapts to whatever
+    architecture the checkpoint was trained with without paying the
+    opt_state's memory/load cost."""
     path = _ckpt_dir(log_dir, run_name)
     with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
-        return ckptr.restore(path)
+        meta_tree = ckptr.metadata(path).item_metadata.tree["params"]
+        template = {
+            "params": jax.tree_util.tree_map(
+                lambda m: np.zeros(m.shape, m.dtype), meta_tree
+            )
+        }
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.RestoreArgs(restore_type=np.ndarray), template
+        )
+        payload = ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                template, restore_args=restore_args, partial_restore=True
+            ),
+        )
+    return payload["params"]
 
 
 def restore_params(log_dir, run_name: str, params_template,
@@ -124,6 +141,19 @@ def restore_params(log_dir, run_name: str, params_template,
     if batch_stats_template is not None:
         return payload["params"], payload["batch_stats"]
     return payload["params"]
+
+
+def load_meta(log_dir, run_name: str) -> dict:
+    """Read the .meta.json sidecar ({} when absent) — run metadata that
+    array trees can't carry (batch_size, and non-shape-derivable
+    architecture fields like the temporal lifter's head count)."""
+    import json
+
+    meta_path = str(_ckpt_dir(log_dir, run_name)) + ".meta.json"
+    if not pathlib.Path(meta_path).exists():
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def exists(log_dir, run_name: str) -> bool:

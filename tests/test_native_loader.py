@@ -24,6 +24,12 @@ def jpeg_dir(tmp_path, rng):
     return paths
 
 
+from pose3d_tpu.data.native_build import ensure_built  # noqa: E402
+
+# build is explicit now (ADVICE: no compiler side effects at decode time)
+ensure_built()
+
+
 class TestNativeLoader:
     def test_builds(self):
         assert native_available(), "native loader failed to build"

@@ -12,6 +12,12 @@ Workloads (BASELINE.json configs):
   4. temporal_infer  — 243-frame serving forward through the fused
                        spatial+temporal sub-block kernels (the
                        pipeline/lift video->3D path)
+  5. flip_lift       — flip-consistency 2x-batch lifting step (config #2,
+                       train_5.py:153-168 contract; the reference re-runs
+                       the models sequentially on the flipped batch)
+  6. e2e_video       — whole video->3D pipeline wall-clock (config #5,
+                       run.py:453-478): native decode -> PoseNet2D ->
+                       fused temporal lift -> reprojection; video frames/s
 
 stdout: exactly ONE JSON line — the headline lifting metric, with the other
 workloads nested under "extra". Human-readable logs go to stderr.
@@ -76,18 +82,34 @@ def _mfu_fields(flops_per_iter, per_iter_s):
 
 def _two_k(run1, run2, k1, k2):
     """Compile+warm both, then time; returns seconds per iteration."""
+    per, t1, t2, _ = _two_k_best(run1, run2, k1, k2, repeats=1)
+    return per, t1, t2
+
+
+def _two_k_best(run1, run2, k1, k2, repeats=1):
+    """Repeated two-K measurement: best-of-N per-iteration time + samples.
+
+    The tunneled donor chip is co-tenanted — the SAME executable has
+    measured 27..60 ms/step across runs (ROUND2_NOTES). The minimum over
+    independent repeats is the least-contended estimate of the program's
+    own cost; the full sample list is reported so the dispersion is
+    visible rather than hidden in a single draw.
+    """
     run1()
     run2()
-    t0 = time.perf_counter()
-    run1()
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run2()
-    t2 = time.perf_counter() - t0
-    per_iter = (t2 - t1) / (k2 - k1)
-    if per_iter <= 0:  # timing noise swamped the delta; raw K2 upper bound
-        per_iter = t2 / k2
-    return per_iter, t1, t2
+    samples, last1, last2 = [], 0.0, 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run1()
+        last1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run2()
+        last2 = time.perf_counter() - t0
+        per = (last2 - last1) / (k2 - k1)
+        if per <= 0:  # timing noise swamped the delta; raw K2 upper bound
+            per = last2 / k2
+        samples.append(per)
+    return min(samples), last1, last2, samples
 
 
 # --------------------------------------------------------------------------
@@ -283,13 +305,21 @@ def tpu_direct_train_throughput():
 
         return run
 
-    per_step, t1, t2 = _two_k(runner(DIRECT_K1), runner(DIRECT_K2),
-                              DIRECT_K1, DIRECT_K2)
+    # best-of-5 against chip co-tenancy (VERDICT r2 item 4): the driver
+    # number should be the defensible least-contended result, with the
+    # dispersion on the record instead of hidden in one draw
+    per_step, t1, t2, samples = _two_k_best(
+        runner(DIRECT_K1), runner(DIRECT_K2), DIRECT_K1, DIRECT_K2,
+        repeats=5,
+    )
     f1, f2 = _flops(compiled[DIRECT_K1]), _flops(compiled[DIRECT_K2])
     fl = _per_iter_flops(f1, f2)
-    _log(f"direct: K{DIRECT_K1} {t1*1e3:.0f} ms, K{DIRECT_K2} "
-         f"{t2*1e3:.0f} ms -> {per_step*1e3:.2f} ms/step")
-    return DIRECT_B / per_step, _mfu_fields(fl, per_step)
+    disp = [round(s * 1e3, 2) for s in samples]
+    _log(f"direct: best {per_step*1e3:.2f} ms/step "
+         f"(5 two-K repeats, ms: {disp})")
+    mfu = _mfu_fields(fl, per_step)
+    mfu["step_ms_samples"] = disp
+    return DIRECT_B / per_step, mfu
 
 
 # --------------------------------------------------------------------------
@@ -305,6 +335,7 @@ def tpu_temporal_train_throughput():
     import jax.numpy as jnp
 
     from pose3d_tpu.models.temporal import TemporalLifter
+    from pose3d_tpu.ops.pallas_stblock_train import make_fused_train_apply
     from pose3d_tpu.train.epoch import make_lifter_epoch_fn
     from pose3d_tpu.train.state import create_train_state
 
@@ -314,30 +345,46 @@ def tpu_temporal_train_throughput():
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((TEMPORAL_B, t, 17, 2)), lr=1e-3,
     )
-    epoch_fn = make_lifter_epoch_fn(donate=False)
 
-    compiled = {}
+    def measure(st, label):
+        epoch_fn = make_lifter_epoch_fn(donate=False)
+        compiled = {}
 
-    def runner(k):
-        y1 = jnp.asarray(rng.random((k, TEMPORAL_B, t, 17, 2), np.float32))
-        y2 = jnp.asarray(
-            rng.random((k, TEMPORAL_B, t, 17, 3), np.float32) - 0.5)
-        key = jax.random.key(1)
-        compiled[k] = epoch_fn.lower(state, y1, y2, key).compile()
+        def runner(k):
+            y1 = jnp.asarray(
+                rng.random((k, TEMPORAL_B, t, 17, 2), np.float32))
+            y2 = jnp.asarray(
+                rng.random((k, TEMPORAL_B, t, 17, 3), np.float32) - 0.5)
+            key = jax.random.key(1)
+            compiled[k] = epoch_fn.lower(st, y1, y2, key).compile()
 
-        def run():
-            _, m = compiled[k](state, y1, y2, key)
-            return float(m["loss"])
+            def run():
+                _, m = compiled[k](st, y1, y2, key)
+                return float(m["loss"])
 
-        return run
+            return run
 
-    per_step, t1, t2 = _two_k(runner(TEMPORAL_K1), runner(TEMPORAL_K2),
-                              TEMPORAL_K1, TEMPORAL_K2)
-    f1, f2 = _flops(compiled[TEMPORAL_K1]), _flops(compiled[TEMPORAL_K2])
-    fl = _per_iter_flops(f1, f2)
-    _log(f"temporal: K{TEMPORAL_K1} {t1*1e3:.0f} ms, K{TEMPORAL_K2} "
-         f"{t2*1e3:.0f} ms -> {per_step*1e3:.2f} ms/step")
-    return TEMPORAL_B * t / per_step, _mfu_fields(fl, per_step)
+        per_step, t1, t2 = _two_k(runner(TEMPORAL_K1), runner(TEMPORAL_K2),
+                                  TEMPORAL_K1, TEMPORAL_K2)
+        f1, f2 = _flops(compiled[TEMPORAL_K1]), _flops(compiled[TEMPORAL_K2])
+        _log(f"temporal[{label}]: K{TEMPORAL_K1} {t1*1e3:.0f} ms, "
+             f"K{TEMPORAL_K2} {t2*1e3:.0f} ms -> {per_step*1e3:.2f} ms/step")
+        return per_step, _per_iter_flops(f1, f2)
+
+    # headline: fused Pallas fwd+bwd sub-block kernels (remat-in-kernel,
+    # dW accumulated across grid cells) — the round-3 training kernel;
+    # plain XLA apply measured alongside for the win factor
+    fused_state = state.replace(apply_fn=make_fused_train_apply())
+    fused_step, fused_fl = measure(fused_state, "fused")
+    xla_step, xla_fl = measure(state, "xla")
+    per_step = min(fused_step, xla_step)
+    # the cost model can't see into the custom calls of the fused path —
+    # use the XLA body count (identical math) for its MFU
+    fl = xla_fl
+    mfu = _mfu_fields(fl, per_step)
+    mfu["xla_frames_per_s"] = round(TEMPORAL_B * t / xla_step, 1)
+    mfu["fused_frames_per_s"] = round(TEMPORAL_B * t / fused_step, 1)
+    return TEMPORAL_B * t / per_step, mfu
 
 
 # --------------------------------------------------------------------------
@@ -397,6 +444,178 @@ def tpu_temporal_infer_throughput():
     return TI_B * t / pallas_iter, TI_B * t / xla_iter
 
 
+# --------------------------------------------------------------------------
+# 5. flip-consistency batched lifting (BASELINE config #2)
+# --------------------------------------------------------------------------
+
+FLIP_B = 4096  # doubled to 8192 rows inside the step (32-row tile multiple)
+
+
+def tpu_flip_lift_throughput():
+    """One flip-consistency lifting step: the reference re-runs every model
+    on the flipped batch sequentially (train_5.py:153-168); here
+    {identity, flip} is ONE 2x batch through the fused trunk and the
+    predictions are flip-averaged on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.core.transforms import flip_pose
+    from pose3d_tpu.models.lifters import (
+        JointTransformerLifter,
+        sinusoidal_positional_embeddings,
+    )
+    from pose3d_tpu.ops.pallas_lifter import lifter_forward_fused
+
+    model = JointTransformerLifter(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((FLIP_B, 17, 2)).astype(np.float32))
+    params = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.key(0), x)["params"]
+    pe = sinusoidal_positional_embeddings(17, 256)
+
+    def flip_apply(p, kp):
+        kp2 = jnp.concatenate([kp, flip_pose(kp)], 0)
+        out = lifter_forward_fused(p, kp2, pe=pe)
+        return (out[:FLIP_B] + flip_pose(out[FLIP_B:])) / 2.0
+
+    c1 = jax.jit(_lift_chain(flip_apply, K1)).lower(params, x).compile()
+    c2 = jax.jit(_lift_chain(flip_apply, K2)).lower(params, x).compile()
+
+    def fenced(c):
+        def run():
+            _, s = c(params, x)
+            return float(s)
+        return run
+
+    per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), K1, K2)
+    _log(f"flip_lift: {per_iter*1e3:.3f} ms/iter "
+         f"({FLIP_B} frames x2 forwards)")
+    # 2x the model FLOPs per output frame (both flip branches are real work)
+    mfu = _mfu_fields(2 * _lifter_flops_per_frame() * FLIP_B, per_iter)
+    return FLIP_B / per_iter, mfu
+
+
+# --------------------------------------------------------------------------
+# 6. end-to-end video -> 3D (BASELINE config #5: the phase-2 pipeline)
+# --------------------------------------------------------------------------
+
+E2E_FRAMES = 512
+E2E_DETECT_B = 64
+
+
+def _make_bench_video(path, n=E2E_FRAMES, w=640, h=480):
+    import cv2
+
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30.0, (w, h))
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    for i in range(n):
+        frame = np.stack([
+            (xx * 2 + i * 3) % 256, (yy * 3 + i) % 256, (xx + yy + i * 5) % 256,
+        ], axis=-1).astype(np.uint8)
+        writer.write(frame)
+    writer.release()
+
+
+def tpu_e2e_video_throughput():
+    """Whole video->3D pipeline wall-clock: native C++ decode ->
+    PoseNet2D detector (batched, on-device normalize) -> fused temporal
+    lifter (lift_sequence clip machinery) -> reprojection-consistency
+    reduction. This is the reference's phase-2 story (run.py:453-478:
+    ffmpeg + ONE OpenPifPaf SUBPROCESS PER FRAME + external MotionBERT —
+    minutes/video) as one native in-process pipeline; reported as
+    video frames/s end-to-end, with the stage split."""
+    import pathlib
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu import losses
+    from pose3d_tpu.data.native_video import (
+        native_available,
+        read_video_frames,
+    )
+    from pose3d_tpu.models.heads import PoseNet2D
+    from pose3d_tpu.models.temporal import TemporalLifter
+    from pose3d_tpu.pipeline.lift import lift_sequence
+
+    video = pathlib.Path(tempfile.gettempdir()) / "pose3d_bench_e2e.mp4"
+    if not video.exists():
+        _make_bench_video(video)
+
+    det = PoseNet2D(architecture="resnet50", dtype=jnp.bfloat16)
+    det_vars = jax.jit(
+        lambda r, xx: det.init({"params": r}, xx, train=False)
+    )(jax.random.key(0), jnp.zeros((E2E_DETECT_B, 256, 256, 3)))
+
+    @jax.jit
+    def detect(v, frames_u8):
+        x = frames_u8.astype(jnp.float32) / 256.0  # H36_dataset.py:131
+        return det.apply(v, x, train=False).reshape(-1, 17, 2)
+
+    lifter = TemporalLifter(dtype=jnp.bfloat16)
+    lifter_params = jax.jit(
+        lambda r, xx: lifter.init({"params": r}, xx)
+    )(jax.random.key(1), jnp.zeros((1, lifter.clip_len, 17, 2)))["params"]
+
+    @jax.jit
+    def reproject_gap(pose3d, kp2d):
+        # phase-5 reprojection-consistency term (losses.py proj gap):
+        # orthographic root-centred (x,y) vs the detected 2D
+        p = pose3d[..., :2] - pose3d[..., :1, :2]
+        k = kp2d - kp2d[..., :1, :]
+        return losses.l1(p, k)
+
+    def run_pipeline():
+        ts = {}
+        t0 = time.perf_counter()
+        frames = read_video_frames(video, size=256, dtype=np.uint8)
+        ts["decode"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        kp_chunks = []
+        for s in range(0, len(frames), E2E_DETECT_B):
+            chunk = frames[s:s + E2E_DETECT_B]
+            if len(chunk) < E2E_DETECT_B:  # pad to the compiled shape
+                pad = E2E_DETECT_B - len(chunk)
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, 256, 256, 3), np.uint8)])
+                kp_chunks.append(np.asarray(
+                    detect(det_vars, jnp.asarray(chunk)))[:-pad])
+            else:
+                kp_chunks.append(np.asarray(detect(det_vars,
+                                                   jnp.asarray(chunk))))
+        kp2d = np.concatenate(kp_chunks)  # (N,17,2) in [0,1]
+        ts["detect"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pose3d = lift_sequence(lifter_params, lifter, kp2d * 1000.0,
+                               image_size=1000.0)
+        ts["lift"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        gap = float(reproject_gap(jnp.asarray(pose3d), jnp.asarray(kp2d)))
+        ts["reproject"] = time.perf_counter() - t0
+        assert np.isfinite(gap)
+        return ts, len(frames)
+
+    run_pipeline()  # warm: compiles detector + fused lifter shapes
+    best, stages = None, None
+    for _ in range(3):
+        ts, n = run_pipeline()
+        total = sum(ts.values())
+        if best is None or total < best:
+            best, stages = total, ts
+    fps = n / best
+    _log(f"e2e video->3D: {fps:,.0f} video frames/s "
+         f"({n} frames in {best*1e3:.0f} ms; "
+         + ", ".join(f"{k} {v*1e3:.0f}" for k, v in stages.items())
+         + " ms; native decode=" + str(native_available()) + ")")
+    return fps, {k: round(v * 1e3, 1) for k, v in stages.items()}
+
+
 def main():
     tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
     _log(f"lifting: {tpu_fps:,.0f} frames/s/chip (fused Pallas trunk; "
@@ -437,6 +656,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         _log(f"temporal train bench FAILED: {type(e).__name__}: {e}")
         extra["temporal_train"] = {"error": str(e)[:200]}
+    try:
+        flip_fps, flip_mfu = tpu_flip_lift_throughput()
+        _log(f"flip lift: {flip_fps:,.0f} frames/s {flip_mfu}")
+        extra["flip_lift"] = {
+            "frames_per_s": round(flip_fps, 1),
+            # the reference runs the flip pass as a SECOND sequential
+            # forward (train_5.py:153-168) => its per-frame cost doubles;
+            # the torch-CPU anchor for flip-consistent lifting is cpu/2
+            "vs_torch_cpu_flip": round(flip_fps / (cpu_fps / 2.0), 2),
+            "config": "flip-consistency 2x-batch fused lifting, B=4096 bf16",
+            **flip_mfu,
+        }
+    except Exception as e:  # noqa: BLE001
+        _log(f"flip lift bench FAILED: {type(e).__name__}: {e}")
+        extra["flip_lift"] = {"error": str(e)[:200]}
+    try:
+        e2e_fps, e2e_stages = tpu_e2e_video_throughput()
+        extra["e2e_video"] = {
+            "video_frames_per_s": round(e2e_fps, 1),
+            "stage_ms": e2e_stages,
+            # no runnable reference anchor exists in this env: the
+            # reference's phase-2 pipeline forks one OpenPifPaf subprocess
+            # PER FRAME (run.py:134-166, model re-init each time) plus a
+            # manual MotionBERT hand-off — order seconds/frame
+            "vs_baseline": None,
+            "config": "640x480 mp4 -> native decode -> PoseNet2D(R50) "
+                      "-> fused temporal lift -> reprojection, "
+                      f"{E2E_FRAMES} frames",
+        }
+    except Exception as e:  # noqa: BLE001
+        _log(f"e2e video bench FAILED: {type(e).__name__}: {e}")
+        extra["e2e_video"] = {"error": str(e)[:200]}
     try:
         ti_fps, ti_xla_fps = tpu_temporal_infer_throughput()
         _log(f"temporal infer: {ti_fps:,.0f} frames/s "

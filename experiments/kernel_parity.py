@@ -23,14 +23,24 @@ e1 = np.abs(got - want).max(); log(f"lifter megakernel parity: {e1:.4f}"); asser
 
 # 2. packed attention + seq attention
 from pose3d_tpu.ops.pallas_attention import packed_flat_attention, seq_attention, _xla_attention_flat
+# Gate note: with f32 operands the TPU matmul still rounds its inputs to
+# bf16 at default precision, in the kernel AND in the XLA reference. The
+# old max-subtracting kernel fed the matmul the SAME normalized
+# probabilities as XLA, so both paths made identical roundings and the
+# diff read artificially tight (7.5e-4). The clamp-softmax kernel rounds
+# the unnormalized e instead — same per-element 2^-8 relative error, now
+# decorrelated from XLA's — so the honest gate is the bf16 rounding class
+# (~1e-2 max). True-math parity is pinned by the f32 CPU-interpret tests
+# (tests/test_pallas_attention.py, atol 1e-5) and chip exp accuracy was
+# measured at 3.8e-6 rel (ROUND3_NOTES).
 qkv = jnp.asarray(rng.standard_normal((100 * 17, 3 * 256)).astype(np.float32))
 want = np.asarray(jax.jit(lambda q: _xla_attention_flat(q, 17, 8))(qkv))
 got = np.asarray(jax.jit(lambda q: packed_flat_attention(q, 17, 8))(qkv))
-e2 = np.abs(got - want).max(); log(f"packed_flat_attention parity: {e2:.5f}"); assert e2 < 1e-3
+e2 = np.abs(got - want).max(); log(f"packed_flat_attention parity: {e2:.5f}"); assert e2 < 2e-2
 q3 = jnp.asarray(rng.standard_normal((6, 243, 3 * 256)).astype(np.float32))
 want = np.asarray(jax.jit(lambda q: _xla_attention_flat(q.reshape(-1, 768), 243, 8))(q3)).reshape(6, 243, 256)
 got = np.asarray(jax.jit(lambda q: seq_attention(q, 8))(q3))
-e3 = np.abs(got - want).max(); log(f"seq_attention parity: {e3:.5f}"); assert e3 < 1e-3
+e3 = np.abs(got - want).max(); log(f"seq_attention parity: {e3:.5f}"); assert e3 < 2e-2
 
 # 3. fused temporal forward
 from pose3d_tpu.models.temporal import TemporalLifter

@@ -71,6 +71,9 @@ def block_diag_mask(rows: int, seq: int):
     return (r // seq) == (c // seq)
 
 
+SCORE_CLAMP = 80.0  # overflow guard replacing the softmax row-max (see below)
+
+
 def masked_heads_attention(qkv, mask, heads, dh):
     """Shared kernel-body helper: multi-head attention over packed rows.
 
@@ -92,12 +95,26 @@ def masked_heads_attention(qkv, mask, heads, dh):
             preferred_element_type=jnp.float32) * scale
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(jax.lax.dot_general(
-            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(qkv.dtype))
+        # Softmax without the row-max subtraction: the max is only an
+        # overflow guard, and the cross-lane max-reduce + broadcast-sub on
+        # the (rows, rows) f32 score tile is the single most expensive VPU
+        # op in these kernels (measured: ~1/3 of the whole train-backward,
+        # ROUND3_NOTES). A constant clamp at SCORE_CLAMP=80 is
+        # mathematically IDENTICAL while every score is < 80 (trained nets
+        # sit ~20; exp(80)=5.5e34 keeps e in bf16 range and every f32
+        # accumulation over <=544 row terms under 3.4e38, including the
+        # unnormalized backward products in ops/pallas_stblock_train); a
+        # net whose scores exceed 80 has already diverged, and still gets
+        # finite (saturated-uniform) outputs. exp(-inf)=0 keeps masked
+        # entries exact. The normalization divide is folded into the
+        # (rows, dh) attention output instead of the (rows, rows)
+        # probability tile.
+        e = jnp.exp(jnp.minimum(s, SCORE_CLAMP))
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        av = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        outs.append((av * r).astype(qkv.dtype))
     return jnp.concatenate(outs, axis=-1)
 
 

@@ -52,12 +52,14 @@ DIM = 256
 HEADS = 4
 DIM_HEAD = DIM // HEADS
 MLP = 4 * DIM
-# rows per grid cell: 32 frames x 17 tokens (multiple of the bf16 sublane
-# tile 16); attention packs all 32 frames (544 rows) in one masked matmul.
-# ROWS=1088 exceeds the 16MB scoped-VMEM budget even with a hidden-chunked
-# MLP (20.4M measured); 544 fits with room for double-buffered in/out
-# blocks.
-ROWS = 544
+# rows per grid cell: 16 frames x 17 tokens (multiple of the bf16 sublane
+# tile 16); attention packs all 16 frames (272 rows) in one masked matmul.
+# Measured ladder at B=8192 (ROUND3_NOTES): 136 -> 6.87 ms, 272 -> 6.29,
+# 544 -> 6.63 — the packed-score waste (VPU exp on the (ROWS, ROWS) f32
+# tile) scales with ROWS while the dense matmuls stop improving past
+# M=272, so 272 is the knee. ROWS=1088 exceeds the 16MB scoped-VMEM
+# budget even with a hidden-chunked MLP (20.4M measured).
+ROWS = 272
 
 
 @dataclass(frozen=True)

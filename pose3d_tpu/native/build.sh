@@ -11,7 +11,7 @@ g++ -O3 -march=native -shared -fPIC -std=c++17 loader.cc -ljpeg -lpthread \
 echo "built $(pwd)/libposeloader.so"
 if g++ -O3 -march=native -shared -fPIC -std=c++17 video.cc \
     -I/usr/include/opencv4 \
-    -lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_videoio \
+    -lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_videoio -lpthread \
     -o libposevideo.so 2>/dev/null; then
   echo "built $(pwd)/libposevideo.so"
 else

@@ -19,10 +19,15 @@
 #include <opencv2/imgproc.hpp>
 #include <opencv2/videoio.hpp>
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -48,6 +53,94 @@ void CropResizeRgb(const cv::Mat& bgr, int size, cv::Mat* rgb_out) {
   }
   cv::cvtColor(resized, *rgb_out, cv::COLOR_BGR2RGB);
 }
+
+// Codec decode is inherently sequential (cap.read), but the per-frame
+// tail — centre-crop, resize, BGR->RGB, optional f32 convert, copy into
+// the batch buffer — is not. This pool overlaps that tail with the
+// decode: the reader thread clones each kept frame and hands it to a
+// worker with its PREASSIGNED output slot, so the result is bit-identical
+// to the sequential loop regardless of scheduling. Measured on the bench
+// video (512 frames 640x480 mp4 -> 256x256 u8): 4.8s -> bounded by the
+// codec alone (ROUND3_NOTES).
+class PostprocPool {
+ public:
+  // convert_f32: write float32/256.0 instead of uint8
+  PostprocPool(int size, bool convert_f32, uint8_t* out_u8, float* out_f32)
+      : size_(size), convert_f32_(convert_f32), out_u8_(out_u8),
+        out_f32_(out_f32) {
+    int n = static_cast<int>(std::thread::hardware_concurrency());
+    if (n < 1) n = 1;
+    if (n > 8) n = 8;  // the tail is memory-bound past a few cores
+    for (int i = 0; i < n; ++i)
+      workers_.emplace_back([this] { Run(); });
+  }
+
+  ~PostprocPool() {
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      done_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // Takes ownership of bgr (move); slot is the output frame index.
+  void Submit(cv::Mat&& bgr, int slot) {
+    std::unique_lock<std::mutex> lk(mu_);
+    full_cv_.wait(lk, [this] { return queue_.size() < 16 || done_; });
+    queue_.emplace_back(std::move(bgr), slot);
+    cv_.notify_one();
+  }
+
+  // Wait until every submitted frame is written.
+  void Drain() {
+    std::unique_lock<std::mutex> lk(mu_);
+    drained_cv_.wait(lk, [this] { return queue_.empty() && active_ == 0; });
+  }
+
+ private:
+  void Run() {
+    cv::Mat rgb, f32;
+    for (;;) {
+      std::pair<cv::Mat, int> item;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return !queue_.empty() || done_; });
+        if (queue_.empty()) return;
+        item = std::move(queue_.front());
+        queue_.pop_front();
+        ++active_;
+        full_cv_.notify_one();
+      }
+      const size_t frame_elems = static_cast<size_t>(size_) * size_ * 3;
+      CropResizeRgb(item.first, size_, &rgb);
+      if (convert_f32_) {
+        rgb.convertTo(f32, CV_32FC3, 1.0 / 256.0);
+        std::memcpy(out_f32_ + item.second * frame_elems, f32.ptr<float>(),
+                    frame_elems * sizeof(float));
+      } else {
+        std::memcpy(out_u8_ + item.second * frame_elems, rgb.data,
+                    frame_elems);
+      }
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        --active_;
+        if (queue_.empty() && active_ == 0) drained_cv_.notify_all();
+      }
+    }
+  }
+
+  const int size_;
+  const bool convert_f32_;
+  uint8_t* const out_u8_;
+  float* const out_f32_;
+  std::vector<std::thread> workers_;
+  std::deque<std::pair<cv::Mat, int>> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_, full_cv_, drained_cv_;
+  int active_ = 0;
+  bool done_ = false;
+};
 
 }  // namespace
 
@@ -80,15 +173,15 @@ void vd_info(void* handle, int* n_frames, int* width, int* height,
 int vd_read_frames_u8(void* handle, int size, int stride, int max_frames,
                       uint8_t* out) {
   auto* d = static_cast<Decoder*>(handle);
-  const size_t frame_elems = static_cast<size_t>(size) * size * 3;
-  cv::Mat bgr, rgb;
+  PostprocPool pool(size, /*convert_f32=*/false, out, nullptr);
+  cv::Mat bgr;
   int written = 0;
   while (written < max_frames && d->cap.read(bgr)) {
     if (d->idx++ % stride) continue;
-    CropResizeRgb(bgr, size, &rgb);
-    std::memcpy(out + written * frame_elems, rgb.data, frame_elems);
+    pool.Submit(bgr.clone(), written);  // clone: cap.read reuses its buffer
     ++written;
   }
+  pool.Drain();
   return written;
 }
 
@@ -96,17 +189,15 @@ int vd_read_frames_u8(void* handle, int size, int stride, int max_frames,
 int vd_read_frames_f32(void* handle, int size, int stride, int max_frames,
                        float* out) {
   auto* d = static_cast<Decoder*>(handle);
-  const size_t frame_elems = static_cast<size_t>(size) * size * 3;
-  cv::Mat bgr, rgb, f32;
+  PostprocPool pool(size, /*convert_f32=*/true, nullptr, out);
+  cv::Mat bgr;
   int written = 0;
   while (written < max_frames && d->cap.read(bgr)) {
     if (d->idx++ % stride) continue;
-    CropResizeRgb(bgr, size, &rgb);
-    rgb.convertTo(f32, CV_32FC3, 1.0 / 256.0);
-    std::memcpy(out + written * frame_elems, f32.ptr<float>(),
-                frame_elems * sizeof(float));
+    pool.Submit(bgr.clone(), written);
     ++written;
   }
+  pool.Drain();
   return written;
 }
 

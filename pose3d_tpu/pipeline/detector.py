@@ -98,6 +98,8 @@ class PoseNet2DDetector(Detector2D):
         self.state = state
         self.image_size = image_size
         self.batch_size = batch_size
+        self._infer = None  # jit cached per instance: one compile per run,
+        # not per detect_dir call (a fresh inner jit recompiles per video)
 
     def detect_dir(self, frames_dir, out_json_dir) -> None:
         import jax
@@ -110,11 +112,16 @@ class PoseNet2DDetector(Detector2D):
         files = sorted(pathlib.Path(frames_dir).glob("*.jpg"))
         frames = load_frames(frames_dir, size=self.image_size)
 
-        @jax.jit
-        def infer(params, batch_stats, x):
-            return self.state.apply_fn(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
+        if self._infer is None:
+            @jax.jit
+            def infer(params, batch_stats, x):
+                return self.state.apply_fn(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+
+            self._infer = infer
+        infer = self._infer
 
         preds = []
         bs = self.batch_size

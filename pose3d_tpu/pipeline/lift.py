@@ -10,10 +10,37 @@ a (T,17,3) float32 sequence saved in the MB_npy interchange format.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from pose3d_tpu.models.temporal import TemporalLifter, make_clips
 from pose3d_tpu.pipeline.keypoints import load_video_json, save_mb_npy
+
+
+@functools.cache
+def _fused_infer():
+    """Module-level jit of the fused serving forward. Defining the jit
+    inside lift_sequence made EVERY call a fresh python callable — jax's
+    compile cache keys on callable identity, so each video recompiled the
+    whole 10-kernel forward (~7s, measured as the dominant stage of the
+    e2e bench, ROUND3_NOTES)."""
+    import jax
+
+    from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
+
+    return jax.jit(temporal_forward_fused,
+                   static_argnames=("n_blocks", "clip_len"))
+
+
+@functools.cache
+def _xla_infer():
+    import jax
+
+    def infer(model, p, x):
+        return model.apply({"params": p}, x, train=False)
+
+    return jax.jit(infer, static_argnums=0)  # flax modules hash by config
 
 
 def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
@@ -56,27 +83,18 @@ def lift_sequence(params, model: TemporalLifter, kp2d_px: np.ndarray,
     if (use_pallas and clip_len == model.clip_len and model.hidden == 256
             and model.heads == 8 and model.n_joints == 17):
         # fully-fused serving forward: spatial + temporal sub-block
-        # megakernels — 2.03x the XLA apply at B=16 (ROUND2_NOTES);
+        # megakernels — 2.6x the XLA apply at B=16 (ROUND3_NOTES);
         # params identical, only the compute path moves
-        from pose3d_tpu.ops.pallas_stblock import temporal_forward_fused
-
-        n_blocks, cl = model.n_blocks, model.clip_len
-
-        @jax.jit
-        def infer(p, x):
-            return temporal_forward_fused(p, x, n_blocks=n_blocks,
-                                          clip_len=cl)
+        out = np.asarray(_fused_infer()(
+            params, jnp.asarray(clips), n_blocks=model.n_blocks,
+            clip_len=model.clip_len))  # (C, L, 17, 3)
     else:
         if use_pallas != model.use_pallas:
             import dataclasses
 
             model = dataclasses.replace(model, use_pallas=use_pallas)
 
-        @jax.jit
-        def infer(p, x):
-            return model.apply({"params": p}, x, train=False)
-
-    out = np.asarray(infer(params, jnp.asarray(clips)))  # (C, L, 17, 3)
+        out = np.asarray(_xla_infer()(model, params, jnp.asarray(clips)))
 
     acc = np.zeros((t_total, 17, 3), np.float32)
     cnt = np.zeros((t_total, 1, 1), np.float32)

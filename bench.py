@@ -364,11 +364,14 @@ def tpu_temporal_train_throughput():
 
             return run
 
-        per_step, t1, t2 = _two_k(runner(TEMPORAL_K1), runner(TEMPORAL_K2),
-                                  TEMPORAL_K1, TEMPORAL_K2)
+        # best-of-4: the same chip-co-tenancy defense as direct_train —
+        # measured spread on this step is 30.6..37.1 ms across windows
+        per_step, t1, t2, samples = _two_k_best(
+            runner(TEMPORAL_K1), runner(TEMPORAL_K2),
+            TEMPORAL_K1, TEMPORAL_K2, repeats=4)
         f1, f2 = _flops(compiled[TEMPORAL_K1]), _flops(compiled[TEMPORAL_K2])
-        _log(f"temporal[{label}]: K{TEMPORAL_K1} {t1*1e3:.0f} ms, "
-             f"K{TEMPORAL_K2} {t2*1e3:.0f} ms -> {per_step*1e3:.2f} ms/step")
+        _log(f"temporal[{label}]: best {per_step*1e3:.2f} ms/step "
+             f"(4 two-K repeats, ms: {[round(s*1e3, 2) for s in samples]})")
         return per_step, _per_iter_flops(f1, f2)
 
     # headline: fused Pallas fwd+bwd sub-block kernels (remat-in-kernel,
@@ -575,19 +578,21 @@ def tpu_e2e_video_throughput():
         ts["decode"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        kp_chunks = []
+        # enqueue every chunk before fetching any result: jax dispatch is
+        # async, so the host->device transfers and the detector compute
+        # pipeline instead of syncing once per chunk
+        pending, tails = [], []
         for s in range(0, len(frames), E2E_DETECT_B):
             chunk = frames[s:s + E2E_DETECT_B]
-            if len(chunk) < E2E_DETECT_B:  # pad to the compiled shape
-                pad = E2E_DETECT_B - len(chunk)
+            pad = E2E_DETECT_B - len(chunk)
+            if pad:  # pad to the compiled shape
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, 256, 256, 3), np.uint8)])
-                kp_chunks.append(np.asarray(
-                    detect(det_vars, jnp.asarray(chunk)))[:-pad])
-            else:
-                kp_chunks.append(np.asarray(detect(det_vars,
-                                                   jnp.asarray(chunk))))
-        kp2d = np.concatenate(kp_chunks)  # (N,17,2) in [0,1]
+            pending.append(detect(det_vars, jnp.asarray(chunk)))
+            tails.append(E2E_DETECT_B - pad)
+        kp2d = np.concatenate(
+            [np.asarray(p)[:n] for p, n in zip(pending, tails)]
+        )  # (N,17,2) in [0,1]
         ts["detect"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

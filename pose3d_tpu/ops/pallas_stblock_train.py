@@ -221,8 +221,9 @@ def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
         do = datt[:, h * DIM_HEAD:(h + 1) * DIM_HEAD].astype(jnp.float32)
         dv_heads.append(_dot(e_dt, (r * do).astype(dt), ta=True))
         da = _dot(do.astype(dt), v, tb=True)  # f32 (R, R)
-        c = r * jnp.sum(da * e, axis=-1, keepdims=True)
-        ds_dt = (e * (da - c)).astype(dt)
+        t = da * e
+        c = r * jnp.sum(t, axis=-1, keepdims=True)
+        ds_dt = (t - c * e).astype(dt)  # == e*(da-c), reusing t
         dq_heads.append(_dot(ds_dt, k) * (r * scale))
         dk_heads.append(_dot(ds_dt, (r.astype(dt) * q).astype(dt),
                              ta=True) * scale)

@@ -21,4 +21,29 @@ for i in range(40):
 l0, l39 = float(losses[0]), float(losses[1])
 print(f"e2e train on TPU: loss {l0:.5f} -> {l39:.5f} ({l0/l39:.1f}x drop)")
 assert l39 < l0 / 2
+
+# Stage 2: the temporal lifter through the FUSED Pallas fwd+bwd sub-block
+# kernels (ops/pallas_stblock_train) — the backward is a hand-derived
+# kernel, so convergence through it (not just one-batch grad parity) is
+# the live sanity for the whole train path.
+from pose3d_tpu.models.temporal import TemporalLifter
+from pose3d_tpu.ops.pallas_stblock_train import make_fused_train_apply
+
+rng = np.random.default_rng(0)
+t = 243
+model = TemporalLifter(dtype=jnp.bfloat16)
+tstate = create_train_state(model, jax.random.key(1),
+                            jnp.zeros((4, t, 17, 2)), lr=3e-4)
+tstate = tstate.replace(apply_fn=make_fused_train_apply())
+# learnable synthetic mapping: 3d = broadcast of 2d + fixed offset
+x = jnp.asarray(rng.random((4, t, 17, 2), np.float32))
+y = jnp.concatenate([x * 0.8, x[..., :1] * 0.3 + 0.1], axis=-1)
+tl = []
+for i in range(30):
+    tstate, m = step(tstate, x, y, jax.random.key(100 + i))
+    if i in (0, 29): tl.append(m["loss"])
+t0, t29 = float(tl[0]), float(tl[1])
+print(f"fused temporal train on TPU: loss {t0:.5f} -> {t29:.5f} "
+      f"({t0/t29:.1f}x drop)")
+assert t29 < t0 / 2
 print("OK")

@@ -80,6 +80,15 @@ def load_image_split(cfg: DirectConfig, is_train: bool):
     return frames, kp3d, None
 
 
+def _weight_decay(cfg: DirectConfig) -> float:
+    """cfg.weight_decay=None -> the reference phase's optimizer default:
+    phase 3 uses Adam(weight_decay=1e-8) (train_3.py:31), phase 4 a bare
+    Adam(lr) with no decay (phase4_joined/train.py:39)."""
+    if cfg.weight_decay is not None:
+        return cfg.weight_decay
+    return 0.0 if getattr(cfg, "source", "h36m") == "video" else 1e-8
+
+
 def train(cfg: DirectConfig):
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     # materialize the (B,17,64^3) heatmap volume only when it is supervised;
@@ -92,7 +101,7 @@ def train(cfg: DirectConfig):
     mesh = make_mesh()
     state = create_train_state(
         model, jax.random.key(cfg.seed), jnp.zeros((2, cfg.image_size, cfg.image_size, 3)),
-        lr=cfg.lr, optimizer=cfg.optimizer, weight_decay=cfg.weight_decay,
+        lr=cfg.lr, optimizer=cfg.optimizer, weight_decay=_weight_decay(cfg),
     )
     state = jax.device_put(state, replicated(mesh))
     if cfg.resume and ckpt.exists(cfg.log_dir, cfg.run_name):
@@ -183,7 +192,7 @@ def infer(cfg: DirectConfig):
     state = create_train_state(
         model, jax.random.key(0),
         jnp.zeros((2, cfg.image_size, cfg.image_size, 3)), lr=cfg.lr,
-        optimizer=cfg.optimizer, weight_decay=cfg.weight_decay,
+        optimizer=cfg.optimizer, weight_decay=_weight_decay(cfg),
     )
     state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
     eval_step = make_direct_eval_step(cfg.loss)

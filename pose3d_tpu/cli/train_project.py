@@ -38,7 +38,9 @@ def train(cfg: LiftConfig):
 
     state = create_train_state(
         model, jax.random.key(cfg.seed), jnp.zeros((cfg.batch_size, 17, 3)),
-        lr=cfg.lr,
+        # bare Adam(lr), no decay — the reference projector trainer uses
+        # Adam, not AdamW (train_project.py:42)
+        lr=cfg.lr, optimizer="adam",
     )
     epoch_fn = make_lifter_epoch_fn(cfg.loss)
     eval_fn = make_lifter_eval_epoch_fn(cfg.loss)

@@ -70,7 +70,10 @@ class DirectConfig:
     heatmap_loss_weight: float = 0.0 # optional heatmap MSE supervision
     chunk_steps: int = 8             # optimizer steps per dispatch (lax.scan)
     loss: str = "mse"                # MSE + Adam wd 1e-8 (train_3.py:30)
-    weight_decay: float = 1e-8
+    # None resolves per source to the reference phase's optimizer ctor:
+    # h36m -> Adam(weight_decay=1e-8) (train_3.py:31); video -> bare
+    # Adam(lr) i.e. no decay (phase4_joined/train.py:39)
+    weight_decay: Optional[float] = None
     optimizer: str = "adam"
     log_dir: str = "./logs"
     seed: int = 0
@@ -142,7 +145,7 @@ def _add_fields(parser: argparse.ArgumentParser, cls, prefix=""):
                                 default=None)
         elif f.type in ("int", int, "Optional[int]"):
             parser.add_argument(name, type=int, default=None)
-        elif f.type in ("float", float):
+        elif f.type in ("float", float, "Optional[float]"):
             parser.add_argument(name, type=float, default=None)
         elif f.type == "tuple" or f.type is tuple:
             parser.add_argument(name, type=lambda s: tuple(s.split(",")),

@@ -36,7 +36,18 @@ class TestConfigCLI:
         cfg = parse_config(DirectConfig, ["--z_scale", "2.0",
                                           "--source", "video"])
         assert cfg.z_scale == 2.0 and cfg.source == "video"
-        assert cfg.weight_decay == 1e-8  # train_3.py Adam wd
+        assert cfg.weight_decay is None  # resolved per source (see below)
+
+    def test_weight_decay_resolves_per_reference_phase(self):
+        # phase 3: Adam(weight_decay=1e-8) (train_3.py:31); phase 4: bare
+        # Adam(lr) (phase4_joined/train.py:39). An explicit flag wins.
+        from pose3d_tpu.cli.train_direct import _weight_decay
+
+        assert _weight_decay(parse_config(DirectConfig, [])) == 1e-8
+        assert _weight_decay(
+            parse_config(DirectConfig, ["--source", "video"])) == 0.0
+        assert _weight_decay(
+            parse_config(DirectConfig, ["--weight_decay", "0.01"])) == 0.01
 
 
 class TestCheckpoint:

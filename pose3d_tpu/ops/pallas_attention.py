@@ -118,9 +118,45 @@ def masked_heads_attention(qkv, mask, heads, dh):
     return jnp.concatenate(outs, axis=-1)
 
 
+def frame_chunked_attention(qkv, seq, heads, dh, chunk):
+    """Exact packed attention computed in sequence-aligned row chunks.
+
+    Equivalent to ``masked_heads_attention(qkv, block_diag_mask(rows, seq),
+    ...)`` — chunks align to sequence boundaries, so no sequence's scores
+    cross a chunk edge — but the score matmuls shrink from (rows, rows) to
+    (chunk, chunk). Those matmuls contract over dh (32/64), i.e. run the
+    MXU at 25-50% utilization, and their FLOPs scale with the packed
+    width, so they (not the exp — measured free,
+    experiments/batched_dot_probe.py) are what the packing waste costs:
+    chunking cuts them rows/chunk-fold while the cell's dense matmuls
+    keep their full-width M.
+
+    qkv (rows, 3*heads*dh) with rows % chunk == 0 and chunk % seq == 0.
+    """
+    rows = qkv.shape[0]
+    if chunk >= rows or rows % chunk or chunk % seq:
+        # misaligned chunking would split a sequence across chunks —
+        # fall back to the single full-width masked product (still exact)
+        return masked_heads_attention(
+            qkv, block_diag_mask(rows, seq), heads, dh)
+    mask = block_diag_mask(chunk, seq)
+    outs = [
+        masked_heads_attention(qkv[c0:c0 + chunk], mask, heads, dh)
+        for c0 in range(0, rows, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+def chunk_for(seq: int) -> int:
+    """Attention-chunk default: smallest multiple of ``seq`` >= 128 — big
+    enough to keep the (chunk, dh) matmul M-dim efficient, small enough
+    that the (chunk, chunk) score work stays near the 17-token minimum."""
+    return -(-128 // seq) * seq
+
+
 def _packed_kernel(qkv_ref, out_ref, *, seq, heads, dh, rows):
-    out_ref[...] = masked_heads_attention(
-        qkv_ref[...], block_diag_mask(rows, seq), heads, dh)
+    out_ref[...] = frame_chunked_attention(
+        qkv_ref[...], seq, heads, dh, chunk_for(seq))
 
 
 def _packed_flat_attention_fwd_impl(qkv, seq, heads, interpret):

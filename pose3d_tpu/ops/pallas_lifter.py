@@ -107,14 +107,15 @@ def _gelu(x):
 def _packed_attention(qkv, mask):
     """qkv (ROWS, 768) bf16 -> attention output (ROWS, 256) bf16.
 
-    Scores for the whole 32-frame cell are one (544, 544) f32 MXU product
-    masked to the 17x17 per-frame diagonal blocks; the masked row softmax
-    equals the per-frame softmax. The softmax math lives in the shared
-    ops/pallas_attention.masked_heads_attention helper.
+    Frame-aligned chunked per-frame attention (exact): the dh=64
+    score-matmul FLOPs scale with the packed width, so the 16-frame cell
+    computes its scores in 8-frame (136, 136) tiles. The softmax math
+    lives in the shared ops/pallas_attention helpers.
     """
-    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
+    del mask  # the chunked helper builds its own per-chunk masks
+    from pose3d_tpu.ops.pallas_attention import frame_chunked_attention
 
-    return masked_heads_attention(qkv, mask, HEADS, DIM_HEAD)
+    return frame_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD, 136)
 
 
 def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
@@ -123,10 +124,8 @@ def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):
     per = 9  # weight tensors per block
     # PE-add lives in the kernel: pe_ref is the (ROWS, 256) table tiled to
     # the 17-token period (ROWS % 17 == 0, so it aligns at every grid cell).
-    from pose3d_tpu.ops.pallas_attention import block_diag_mask
-
     x = x_ref[...] + pe_ref[...]
-    mask = block_diag_mask(ROWS, N_JOINTS)
+    mask = None  # _packed_attention chunks with its own per-chunk masks
     for blk in range(n_blocks):
         (lna_g, lna_b, lnb_g, lnb_b, w_qkv, w_proj, ln2_g, ln2_b, w1) = (
             wrefs[blk * per + i][...] for i in range(9))

@@ -65,6 +65,9 @@ from pose3d_tpu.ops.pallas_stblock import (
 # kernels raise the budget via CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 # (v5e has 128M physical VMEM; measured ladder in ROUND3_NOTES).
 TRAIN_ROWS = 272
+# frame-aligned attention-chunk width shared by the fused fwd/bwd spatial
+# kernels: score tiles shrink (TRAIN_ROWS, TRAIN_ROWS) -> (136, 136)
+ATTN_CHUNK = 136
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 _LN_EPS = 1e-5
@@ -103,8 +106,24 @@ def _dot(a, b, ta=False, tb=False):
                                preferred_element_type=jnp.float32)
 
 
-def _subblock_fwd(x, mask, w, with_residuals=False):
-    """Forward of one sub-block on (R, DIM) rows. w = 12-tuple.
+def _attention_fwd(qkv, seq):
+    """seq == None -> full attention; else exact per-``seq`` attention in
+    frame-aligned ``ATTN_CHUNK`` score tiles (the dh=32-contraction score
+    matmuls are what the packing costs — exp measured free,
+    experiments/batched_dot_probe.py)."""
+    from pose3d_tpu.ops.pallas_attention import (
+        frame_chunked_attention,
+        masked_heads_attention,
+    )
+
+    if seq is None:
+        return masked_heads_attention(qkv, None, HEADS, DIM_HEAD)
+    return frame_chunked_attention(qkv, seq, HEADS, DIM_HEAD, ATTN_CHUNK)
+
+
+def _subblock_fwd(x, seq, w, with_residuals=False):
+    """Forward of one sub-block on (R, DIM) rows. w = 12-tuple; ``seq`` is
+    the per-frame attention length (None = full attention over R).
 
     ``with_residuals`` additionally returns (x1, att) — the two
     activations whose in-kernel recompute dominates the backward
@@ -112,13 +131,12 @@ def _subblock_fwd(x, mask, w, with_residuals=False):
     HBM round-trips vs ~half the backward's attention compute.
     """
     (g1, b1, w_qkv, b_qkv, w_p, b_p, g2, b2, w_1, b_1, w_2, b_2) = w
-    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
 
     dt = x.dtype
     xhat1, _ = _ln_fwd_stats(x)
     y = (xhat1 * g1.astype(jnp.float32) + b1.astype(jnp.float32)).astype(dt)
     qkv = (_dot(y, w_qkv) + b_qkv.astype(jnp.float32)).astype(dt)
-    att = masked_heads_attention(qkv, mask, HEADS, DIM_HEAD)
+    att = _attention_fwd(qkv, seq)
     x1 = x + (_dot(att, w_p) + b_p.astype(jnp.float32)).astype(dt)
     xhat2, _ = _ln_fwd_stats(x1)
     y2 = (xhat2 * g2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(dt)
@@ -130,8 +148,69 @@ def _subblock_fwd(x, mask, w, with_residuals=False):
     return out
 
 
-def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
-    """Recompute-forward backward of one sub-block.
+def _attention_bwd(qkv, datt, seq, dt):
+    """dqkv (R, 3*DIM) f32 from saved qkv and the attention-output grad.
+
+    With probs a = e*r (r the row normalizer), every use of a factors so
+    the score tile only sees e:
+      dv  = a^T @ do            = e^T @ (r*do)
+      c   = sum(da * a, -1)     = r * sum(da * e, -1)
+      ds  = a * (da - c)        = r ⊙ [e * (da - c)] =: r ⊙ ds'
+      dq  = ds @ k * scale      = r * (ds' @ k) * scale
+      dk  = ds^T @ q * scale    = ds'^T @ (r*q) * scale
+    -> 4 elementwise passes over the score tile (exp, e*da, da-c, e*(..))
+    instead of 7 with materialized probs (measured ~2x VPU cut on the
+    spatial backward, ROUND3_NOTES). The spatial path (``seq`` not None)
+    additionally computes the tiles in frame-aligned ``ATTN_CHUNK``
+    chunks — exact, and it cuts the dh-contraction score-matmul FLOPs
+    R/ATTN_CHUNK-fold (the dominant cost; exp measured free).
+    """
+    from pose3d_tpu.ops.pallas_attention import block_diag_mask
+
+    rows = qkv.shape[0]
+    scale = DIM_HEAD ** -0.5
+    if seq is None or ATTN_CHUNK >= rows or rows % ATTN_CHUNK:
+        spans = [(0, rows)]
+        mask = None if seq is None else block_diag_mask(rows, seq)
+    else:
+        spans = [(c0, ATTN_CHUNK) for c0 in range(0, rows, ATTN_CHUNK)]
+        mask = block_diag_mask(ATTN_CHUNK, seq)
+
+    parts = []
+    for c0, cl in spans:
+        qkv_c = qkv[c0:c0 + cl]
+        datt_c = datt[c0:c0 + cl]
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(HEADS):
+            q = qkv_c[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
+            k = qkv_c[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
+            v = qkv_c[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
+            s = _dot(q, k, tb=True) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, -jnp.inf)
+            e = jnp.exp(jnp.minimum(s, SCORE_CLAMP))  # f32 (C, C)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            e_dt = e.astype(dt)
+            do = datt_c[:, h * DIM_HEAD:(h + 1) * DIM_HEAD] \
+                .astype(jnp.float32)
+            dv_heads.append(_dot(e_dt, (r * do).astype(dt), ta=True))
+            da = _dot(do.astype(dt), v, tb=True)  # f32 (C, C)
+            t = da * e
+            c = r * jnp.sum(t, axis=-1, keepdims=True)
+            ds_dt = (t - c * e).astype(dt)  # == e*(da-c), reusing t
+            dq_heads.append(_dot(ds_dt, k) * (r * scale))
+            dk_heads.append(_dot(ds_dt, (r.astype(dt) * q).astype(dt),
+                                 ta=True) * scale)
+        parts.append(jnp.concatenate(
+            [jnp.concatenate(dq_heads, axis=-1),
+             jnp.concatenate(dk_heads, axis=-1),
+             jnp.concatenate(dv_heads, axis=-1)], axis=-1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _subblock_bwd(x, dout, seq, w, x1=None, att=None):
+    """Recompute-forward backward of one sub-block; ``seq`` as in
+    ``_subblock_fwd``.
 
     ``x1``/``att`` are the residuals saved by the forward kernel; when
     None (not saved) they are recomputed here, costing an extra per-head
@@ -141,7 +220,6 @@ def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
     """
     (g1, b1, w_qkv, b_qkv, w_p, b_p, g2, b2, w_1, b_1, w_2, b_2) = w
     dt = x.dtype
-    scale = DIM_HEAD ** -0.5
 
     # ---- recompute forward (keeping what the backward needs)
     xhat1, r1 = _ln_fwd_stats(x)
@@ -149,33 +227,8 @@ def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
     y = (xhat1 * g1f + b1.astype(jnp.float32)).astype(dt)
     qkv = (_dot(y, w_qkv) + b_qkv.astype(jnp.float32)).astype(dt)
 
-    def head_slices(h):
-        q = qkv[:, h * DIM_HEAD:(h + 1) * DIM_HEAD]
-        k = qkv[:, DIM + h * DIM_HEAD:DIM + (h + 1) * DIM_HEAD]
-        v = qkv[:, 2 * DIM + h * DIM_HEAD:2 * DIM + (h + 1) * DIM_HEAD]
-        return q, k, v
-
-    def head_exp(q, k):
-        """Unnormalized clamped-softmax pieces (e, r): probs = e * r.
-
-        Same no-max-reduce scheme as masked_heads_attention (its
-        SCORE_CLAMP comment has the bounds argument); the backward below
-        never materializes the normalized (R, R) probabilities — the row
-        normalizer r rides on the (R, dh) factors instead.
-        """
-        s = _dot(q, k, tb=True) * scale
-        if mask is not None:
-            s = jnp.where(mask, s, -jnp.inf)
-        e = jnp.exp(jnp.minimum(s, SCORE_CLAMP))  # f32 (R, R)
-        return e, 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-
     if att is None:
-        att_heads = []
-        for h in range(HEADS):
-            q, k, v = head_slices(h)
-            e, r = head_exp(q, k)
-            att_heads.append((_dot(e.astype(dt), v) * r).astype(dt))
-        att = jnp.concatenate(att_heads, axis=-1)  # (R, DIM) dt
+        att = _attention_fwd(qkv, seq)
     if x1 is None:
         x1 = x + (_dot(att, w_p) + b_p.astype(jnp.float32)).astype(dt)
     xhat2, r2 = _ln_fwd_stats(x1)
@@ -203,34 +256,7 @@ def _subblock_bwd(x, dout, mask, w, x1=None, att=None):
     dbp = jnp.sum(dx1, axis=0, keepdims=True)
     datt = _dot(dx1_dt, w_p, tb=True)  # f32 (R, DIM)
 
-    # attention backward, head by head. With probs a = e*r (r the row
-    # normalizer), every use of a factors so the (R, R) tile only sees e:
-    #   dv  = a^T @ do            = e^T @ (r*do)
-    #   c   = sum(da * a, -1)     = r * sum(da * e, -1)
-    #   ds  = a * (da - c)        = r ⊙ [e * (da - c)] =: r ⊙ ds'
-    #   dq  = ds @ k * scale      = r * (ds' @ k) * scale
-    #   dk  = ds^T @ q * scale    = ds'^T @ (r*q) * scale
-    # -> 4 elementwise passes over the (R, R) f32 tile (exp, e*da, da-c,
-    # e*(..)) instead of 7 with materialized probs (measured ~2x VPU cut
-    # on the spatial backward, ROUND3_NOTES).
-    dq_heads, dk_heads, dv_heads = [], [], []
-    for h in range(HEADS):
-        q, k, v = head_slices(h)
-        e, r = head_exp(q, k)
-        e_dt = e.astype(dt)
-        do = datt[:, h * DIM_HEAD:(h + 1) * DIM_HEAD].astype(jnp.float32)
-        dv_heads.append(_dot(e_dt, (r * do).astype(dt), ta=True))
-        da = _dot(do.astype(dt), v, tb=True)  # f32 (R, R)
-        t = da * e
-        c = r * jnp.sum(t, axis=-1, keepdims=True)
-        ds_dt = (t - c * e).astype(dt)  # == e*(da-c), reusing t
-        dq_heads.append(_dot(ds_dt, k) * (r * scale))
-        dk_heads.append(_dot(ds_dt, (r.astype(dt) * q).astype(dt),
-                             ta=True) * scale)
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dq_heads, axis=-1),
-         jnp.concatenate(dk_heads, axis=-1),
-         jnp.concatenate(dv_heads, axis=-1)], axis=-1)  # f32 (R, 3*DIM)
+    dqkv = _attention_bwd(qkv, datt, seq, dt)  # f32 (R, 3*DIM)
     dbqkv = jnp.sum(dqkv, axis=0, keepdims=True)
     dqkv_dt = dqkv.astype(dt)
     dwqkv = _dot(y, dqkv_dt, ta=True)
@@ -268,8 +294,9 @@ def _norm_weight_values(refs):
 def _spatial_fwd_kernel(x_ref, *refs, rows):
     w = _norm_weight_values(refs[:-3])
     out_ref, x1_ref, att_ref = refs[-3:]
+    del rows  # block shape already pins it
     out, x1, att = _subblock_fwd(
-        x_ref[...], block_diag_mask(rows, N_JOINTS), w, with_residuals=True)
+        x_ref[...], N_JOINTS, w, with_residuals=True)
     out_ref[...] = out
     x1_ref[...] = x1
     att_ref[...] = att
@@ -279,8 +306,8 @@ def _spatial_bwd_kernel(x_ref, x1_ref, att_ref, dout_ref, *refs, rows):
     w_refs, out_refs = refs[:12], refs[12:]
     dx_ref, dw_refs = out_refs[0], out_refs[1:]
     w = _norm_weight_values(w_refs)
-    dx, dws = _subblock_bwd(x_ref[...], dout_ref[...],
-                            block_diag_mask(rows, N_JOINTS), w,
+    del rows  # block shape already pins it
+    dx, dws = _subblock_bwd(x_ref[...], dout_ref[...], N_JOINTS, w,
                             x1=x1_ref[...], att=att_ref[...])
     dx_ref[...] = dx
 
@@ -320,6 +347,48 @@ def _temporal_bwd_kernel(x_ref, x1_ref, att_ref, dout_ref, *refs):
     @pl.when(pl.program_id(0) != 0)
     def _acc():
         for ref, dw in zip(dw_refs, dws):
+            ref[...] += dw.reshape(ref.shape)
+
+
+def _temporal_slab_fwd_kernel(x_ref, *refs):
+    """One clip per grid cell in FRAME-MAJOR slab layout (1, T, 17*DIM):
+    joint j's sequence is the static 256-lane slice [j*DIM, (j+1)*DIM) —
+    free in VMEM. Replaces the joint-major kernel plus the ten XLA
+    transposes per forward (and their ten autodiff twins per backward):
+    the spatial kernel's flat rows and this slab are the same bytes."""
+    w = _norm_weight_values(refs[:-3])
+    out_ref, x1_ref, att_ref = refs[-3:]
+    x = x_ref[0]
+    for j in range(N_JOINTS):
+        sl = slice(j * DIM, (j + 1) * DIM)
+        out, x1, att = _subblock_fwd(x[:, sl], None, w, with_residuals=True)
+        out_ref[0, :, sl] = out
+        x1_ref[0, :, sl] = x1
+        att_ref[0, :, sl] = att
+
+
+def _temporal_slab_bwd_kernel(x_ref, x1_ref, att_ref, dout_ref, *refs):
+    w_refs, out_refs = refs[:12], refs[12:]
+    dx_ref, dw_refs = out_refs[0], out_refs[1:]
+    w = _norm_weight_values(w_refs)
+    x, x1, att, dout = x_ref[0], x1_ref[0], att_ref[0], dout_ref[0]
+    acc = None
+    for j in range(N_JOINTS):
+        sl = slice(j * DIM, (j + 1) * DIM)
+        dx, dws = _subblock_bwd(x[:, sl], dout[:, sl], None, w,
+                                x1=x1[:, sl], att=att[:, sl])
+        dx_ref[0, :, sl] = dx
+        acc = dws if acc is None else tuple(
+            a + d for a, d in zip(acc, dws))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref, dw in zip(dw_refs, acc):
+            ref[...] = dw.reshape(ref.shape)
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        for ref, dw in zip(dw_refs, acc):
             ref[...] += dw.reshape(ref.shape)
 
 
@@ -425,6 +494,49 @@ def _temporal_bwd_impl(res, dout, weights, interpret):
     return outs[0], outs[1:]
 
 
+def _temporal_slab_fwd_impl(x_slab, weights, interpret):
+    n, length, width = x_slab.shape
+    spec = pl.BlockSpec((1, length, width), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [spec] + [_const_spec(w.shape) for w in weights]
+    shape = jax.ShapeDtypeStruct((n, length, width), x_slab.dtype)
+    out, x1p, attp = pl.pallas_call(
+        _temporal_slab_fwd_kernel,
+        out_shape=[shape, shape, shape],
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=[spec, spec, spec],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x_slab, *weights)
+    return out, (x_slab, x1p, attp)
+
+
+def _temporal_slab_bwd_impl(res, dout, weights, interpret):
+    x_slab, x1p, attp = res
+    n, length, width = x_slab.shape
+    spec = pl.BlockSpec((1, length, width), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [spec] * 4 + [_const_spec(w.shape) for w in weights]
+    out_shapes = [jax.ShapeDtypeStruct((n, length, width), x_slab.dtype)]
+    out_specs = [spec]
+    for shape in _DW_SHAPES:
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+        out_specs.append(_const_spec(shape))
+    outs = pl.pallas_call(
+        _temporal_slab_bwd_kernel,
+        out_shape=out_shapes,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x_slab, x1p, attp, dout, *weights)
+    return outs[0], outs[1:]
+
+
 def _cast_dws(dws, weights):
     """f32 accumulators -> cotangents matching the primal weight
     shapes/dtypes ((1, n) rows stay (1, n))."""
@@ -489,6 +601,34 @@ def _tbt_bwd(interpret, res, g):
 temporal_block_train.defvjp(_tbt_fwd, _tbt_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13,))
+def temporal_slab_train(x_slab, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9,
+                        w10, w11, interpret=False):
+    """Differentiable fused temporal sub-block in frame-major slab layout
+    (n_clips, L, 17*256) — forward and backward are Pallas kernels; no
+    layout change from the spatial kernel's flat rows (reshape only)."""
+    out, _ = _temporal_slab_fwd_impl(
+        x_slab, (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11),
+        interpret)
+    return out
+
+
+def _tst_fwd(x_slab, w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11,
+             interpret):
+    weights = (w0, w1, w2, w3, w4, w5, w6, w7, w8, w9, w10, w11)
+    out, saved = _temporal_slab_fwd_impl(x_slab, weights, interpret)
+    return out, (saved, weights)
+
+
+def _tst_bwd(interpret, res, g):
+    saved, weights = res
+    dx, dws = _temporal_slab_bwd_impl(saved, g, weights, interpret)
+    return (dx, *_cast_dws(dws, weights))
+
+
+temporal_slab_train.defvjp(_tst_fwd, _tst_bwd)
+
+
 def temporal_train_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
                                  interpret=False):
     """Differentiable fully-fused TemporalLifter forward for TRAINING.
@@ -521,12 +661,13 @@ def temporal_train_forward_fused(params, clips, *, n_blocks=5, clip_len=243,
         bp = params[f"SpatioTemporalBlock_{blk}"]
         tokens = spatial_block_train(
             tokens, *pack(bp, pack_spatial_weights), interpret)
-        xt = tokens.reshape(b, t, j, DIM).transpose(0, 2, 1, 3) \
-            .reshape(b * j, t, DIM)
-        xt = temporal_block_train(
-            xt, *pack(bp, pack_temporal_weights), interpret)
-        tokens = xt.reshape(b, j, t, DIM).transpose(0, 2, 1, 3) \
-            .reshape(b * t * j, DIM)
+        # slab kernel: same bytes as the flat rows (reshape only) — the
+        # old joint-major regrouping cost ten XLA transposes per forward
+        # and ten more in the backward
+        xt = temporal_slab_train(
+            tokens.reshape(b, t, j * DIM),
+            *pack(bp, pack_temporal_weights), interpret)
+        tokens = xt.reshape(b * t * j, DIM)
 
     gf = jnp.asarray(params["LayerNorm_0"]["scale"], jnp.float32)
     bf = jnp.asarray(params["LayerNorm_0"]["bias"], jnp.float32)

@@ -55,6 +55,31 @@ class TestTemporalForwardFused:
             params, x[:3], n_blocks=2, clip_len=27, interpret=True))
         np.testing.assert_array_equal(small, full[:3])
 
+    def test_slab_matches_joint_major_kernel(self, setup):
+        """temporal_slab_fused (frame-major, per-joint lane slices) is
+        bit-identical to temporal_block_fused (joint-major sequences) —
+        identical op order per sequence, only the layout differs."""
+        _, params, _ = setup
+        from pose3d_tpu.ops.pallas_stblock import (
+            DIM,
+            pack_temporal_weights,
+            temporal_block_fused,
+            temporal_slab_fused,
+        )
+
+        w = pack_temporal_weights(
+            params["SpatioTemporalBlock_0"], dtype=jnp.float32)
+        c, t, j = 3, 27, 17
+        x = jnp.asarray(np.random.default_rng(5)
+                        .standard_normal((c, t, j, DIM)).astype(np.float32))
+        ref = np.asarray(temporal_block_fused(
+            x.transpose(0, 2, 1, 3).reshape(c * j, t, DIM), w,
+            interpret=True)).reshape(c, j, t, DIM).transpose(0, 2, 1, 3)
+        got = np.asarray(temporal_slab_fused(
+            x.reshape(c, t, j * DIM), w, interpret=True)
+        ).reshape(c, t, j, DIM)
+        np.testing.assert_array_equal(got, ref)
+
     def test_clip_isolation(self, setup):
         """Clips must not attend across each other through any branch."""
         _, params, x = setup

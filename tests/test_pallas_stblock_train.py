@@ -78,6 +78,39 @@ class TestFusedTrainForward:
                                    atol=1e-5, rtol=2e-3)
         tree_allclose(gp_got, gp_ref, atol=2e-5)
 
+    def test_slab_matches_joint_major_kernel(self, small_model):
+        """temporal_slab_train (frame-major slab, per-joint lane slices)
+        vs temporal_block_train (joint-major, one sequence per cell) —
+        same math, different layout; grads differ only by f32 dW
+        accumulation order (17 joints per cell vs 17 cells)."""
+        model, params, _ = small_model
+        from pose3d_tpu.ops.pallas_stblock import pack_temporal_weights
+
+        w = pack_temporal_weights(
+            params["SpatioTemporalBlock_0"], dtype=jnp.float32)
+        c, t, j, d = 3, 12, 17, 256
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((c, t, j, d)).astype(np.float32))
+        dout = jnp.asarray(
+            rng.standard_normal((c, t, j, d)).astype(np.float32))
+
+        def f_ref(xx, *ww):
+            xt = xx.transpose(0, 2, 1, 3).reshape(c * j, t, d)
+            o = st.temporal_block_train(xt, *ww, True)
+            return jnp.vdot(
+                o.reshape(c, j, t, d).transpose(0, 2, 1, 3), dout)
+
+        def f_slab(xx, *ww):
+            o = st.temporal_slab_train(xx.reshape(c, t, j * d), *ww, True)
+            return jnp.vdot(o.reshape(c, t, j, d), dout)
+
+        g_ref = jax.grad(f_ref, argnums=tuple(range(13)))(x, *w)
+        g_slab = jax.grad(f_slab, argnums=tuple(range(13)))(x, *w)
+        for i, (a, b) in enumerate(zip(g_slab, g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-3,
+                err_msg=f"arg {i}")
+
     def test_spatial_rows_span_multiple_cells(self):
         """Row count > TRAIN_ROWS forces cross-cell dW accumulation; also
         exercises the zero-padding tail (n not a multiple of TRAIN_ROWS)."""
@@ -102,17 +135,12 @@ class TestFusedTrainForward:
                 st.spatial_block_train(xx, *w, True), dout)
 
         def ref(xx, *w):
-            mask = None
-            from pose3d_tpu.ops.pallas_attention import block_diag_mask
-            del mask
             # XLA reference of the same math on the same flat rows
-            out = st._subblock_fwd(
-                xx, block_diag_mask_full(xx.shape[0]), _norm(w))
+            # (seq=17 -> per-frame attention; 595 rows is not a multiple of
+            # ATTN_CHUNK, so this reference takes the full-mask fallback
+            # while the fused path chunks inside 272-row cells)
+            out = st._subblock_fwd(xx, 17, _norm(w))
             return jnp.vdot(out, dout)
-
-        def block_diag_mask_full(rows):
-            from pose3d_tpu.ops.pallas_attention import block_diag_mask
-            return block_diag_mask(rows, 17)
 
         def _norm(w):
             return tuple(v[0] if (v.ndim == 2 and v.shape[0] == 1) else v

@@ -95,15 +95,19 @@ def write_video(rgb_frames, out_path, fps: float = 10.0) -> int:
     return n
 
 
-def load_frames(frames_dir, size: int | None = None):
-    """Load ``%04d.jpg`` frames as one (N, H, W, 3) float32 array in [0,1),
-    optionally resized — the resize-256 + /256 convention of
-    H36_dataset.py:129-131 when ``size`` is given."""
+def load_frames(frames_dir, size: int | None = None, dtype=np.float32):
+    """Load ``%04d.jpg`` frames as one (N, H, W, 3) array, optionally
+    resized. dtype float32 (default): values in [0,1) per the resize-256 +
+    /256 convention of H36_dataset.py:129-131. dtype uint8: raw pixels —
+    callers normalize on device (``x/256`` of uint8 is exact in f32, and
+    the host->device transfer is 4x smaller; the transfer dominates the
+    detect stage over the narrow-link chip here, ROUND3_NOTES)."""
     files = sorted(pathlib.Path(frames_dir).glob("*.jpg"))
     frames = []
     for f in files:
         img = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
         if size is not None:
             img = cv2.resize(img, (size, size))
-        frames.append(img.astype(np.float32) / 256.0)
-    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.float32)
+        frames.append(img if dtype == np.uint8
+                      else img.astype(np.float32) / 256.0)
+    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), dtype)

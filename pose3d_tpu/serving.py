@@ -10,7 +10,11 @@ for TPU serving:
 - requests are padded up to the bucket and the padding sliced off after;
 - the Martinez lifter uses the fused VMEM-resident Pallas block
   (ops/pallas_martinez) with folded BN at inference;
-- all compute in bfloat16, outputs float32.
+- all compute in bfloat16, outputs float32;
+- optional multi-chip serving: pass ``mesh=`` to shard each bucket's
+  batch over the mesh's data axis via ``shard_map`` (each chip runs the
+  same single-chip program — fused Pallas kernels included — on its
+  shard; no cross-chip communication exists in a lifter forward).
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ class LifterService:
     def __init__(self, model, params, batch_stats=None, *,
                  max_batch: int = 8192, min_bucket: int = 64,
                  use_fused_martinez: bool = True,
-                 use_fused_vit: bool = True):
+                 use_fused_vit: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -32,6 +37,16 @@ class LifterService:
         self.model = model
         self.params = params
         self.batch_stats = batch_stats or {}
+        self.mesh = mesh
+        n_shards = 1
+        if mesh is not None:
+            from pose3d_tpu.parallel.mesh import DATA_AXIS
+
+            n_shards = mesh.shape[DATA_AXIS]
+            # every bucket must split evenly over the data axis
+            min_bucket = max(min_bucket, n_shards)
+            if min_bucket % n_shards:
+                min_bucket = ((min_bucket // n_shards) + 1) * n_shards
         self.buckets = []
         b = min_bucket
         while b <= max_batch:
@@ -72,7 +87,8 @@ class LifterService:
                 and model.out_dim == 3 and model.hidden == 256
                 and model.n_blocks == 2 and model.heads == 4
                 and not model.class_token
-                and all(b % 32 == 0 for b in self.buckets)  # 32-frame tile
+                # 32-frame kernel tile, per data-axis shard
+                and all((b // n_shards) % 32 == 0 for b in self.buckets)
                 and jax.default_backend() == "tpu"):
             # whole-trunk VMEM megakernel: 2.5x the XLA apply at B=8192
             # (ROUND2_NOTES)
@@ -89,17 +105,29 @@ class LifterService:
             fused = run_vit
 
         if fused is not None:
-            self._fn = jax.jit(fused)
+            base = fused
         else:
             variables = {"params": params}
             if self.batch_stats:
                 variables["batch_stats"] = self.batch_stats
 
-            @jax.jit
-            def run(kp2d):
+            def base(kp2d):
                 return model.apply(variables, kp2d, train=False)
 
-            self._fn = run
+        if mesh is not None:
+            # DP serving: each chip runs the identical single-chip program
+            # (Pallas kernels included) on its batch shard — shard_map
+            # keeps the kernels out of GSPMD's way; there is no cross-chip
+            # communication in a lifter forward
+            from jax.sharding import PartitionSpec as P
+
+            from pose3d_tpu.parallel.mesh import DATA_AXIS
+
+            base = jax.shard_map(
+                base, mesh=mesh, in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS), check_vma=False)
+
+        self._fn = jax.jit(base)
 
     def warmup(self):
         """Precompile every bucket (first request latency -> ~0)."""

@@ -621,8 +621,57 @@ def tpu_e2e_video_throughput():
     return fps, {k: round(v * 1e3, 1) for k, v in stages.items()}
 
 
+def _fail_headline(reason: str):
+    """The contract is ONE JSON line no matter what — an honest failure
+    record beats a silent crash (e.g. the axon tunnel going Unavailable,
+    observed 2026-08-18: backend init hangs indefinitely)."""
+    print(json.dumps({
+        "metric": "lifted frames/sec/chip (H3.6M 2D->3D)",
+        "value": 0.0,
+        "unit": "frames/s/chip",
+        "vs_baseline": 0.0,
+        "extra": {"error": reason[:300]},
+    }), flush=True)
+
+
+def _init_backend_or_die(timeout_s: int = 600):
+    """Initialize the TPU backend under a watchdog: jax backend-init over
+    the tunnel can hang (not raise) when the donor chip is unreachable; a
+    daemon thread + hard exit keeps the one-JSON-line contract."""
+    import os
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in result:
+        reason = result.get(
+            "error", f"TPU backend init timed out after {timeout_s}s "
+            "(axon tunnel unreachable)")
+        _log(f"backend init failed: {reason}")
+        _fail_headline(reason)
+        os._exit(1)
+    _log(f"devices: {result['devices']}")
+
+
 def main():
-    tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
+    _init_backend_or_die()
+    try:
+        tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
+    except Exception as e:  # noqa: BLE001 — one JSON line no matter what
+        _log(f"lifting bench FAILED: {type(e).__name__}: {e}")
+        _fail_headline(f"lifting workload failed: {type(e).__name__}: {e}")
+        return
     _log(f"lifting: {tpu_fps:,.0f} frames/s/chip (fused Pallas trunk; "
          f"xla apply {xla_fps:,.0f}) {lift_mfu}")
     cpu_fps = cpu_reference_throughput()

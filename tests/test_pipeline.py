@@ -52,6 +52,19 @@ class TestVideoIO:
         assert frames.dtype == np.float32
         assert 0 <= frames.min() and frames.max() < 1.0  # /256 convention
 
+    def test_load_frames_uint8_bit_identical(self, synthetic_video,
+                                             tmp_path):
+        """uint8 loading + on-device-style /256 normalize must equal the
+        f32 host path exactly (the detector's 4x-smaller transfer relies
+        on this)."""
+        root, video = synthetic_video
+        out = tmp_path / "f4"
+        video_lib.extract_frames(root / "raw_videos" / video, out, fps=100)
+        f32 = video_lib.load_frames(out, size=32)
+        u8 = video_lib.load_frames(out, size=32, dtype=np.uint8)
+        assert u8.dtype == np.uint8
+        np.testing.assert_array_equal(u8.astype(np.float32) / 256.0, f32)
+
 
 class TestDetectMerge:
     def test_mock_detector_schema(self, synthetic_video, tmp_path):

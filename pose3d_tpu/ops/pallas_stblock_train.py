@@ -165,8 +165,6 @@ def _attention_bwd(qkv, datt, seq, dt):
     chunks — exact, and it cuts the dh-contraction score-matmul FLOPs
     R/ATTN_CHUNK-fold (the dominant cost; exp measured free).
     """
-    from pose3d_tpu.ops.pallas_attention import block_diag_mask
-
     rows = qkv.shape[0]
     scale = DIM_HEAD ** -0.5
     if seq is None or ATTN_CHUNK >= rows or rows % ATTN_CHUNK:

@@ -162,6 +162,10 @@ def temporal_slab_fused(x_slab, weights, *, interpret=False):
         grid=(n,),
         in_specs=in_specs,
         out_specs=spec,
+        # 17 unrolled per-joint sub-blocks per cell: Mosaic may keep
+        # several joints' f32 intermediates live past the 16M default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_slab, *weights)
 

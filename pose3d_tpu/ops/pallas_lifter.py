@@ -169,6 +169,11 @@ def _trunk(tokens_flat, pe_rows, weights_flat, *, n_blocks, interpret):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # frame-chunked scores no longer scale with ROWS, so larger cells
+        # (better dense-matmul M, fewer weight refetches) are viable —
+        # they just need more than the 16M default scoped VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(tokens_flat, pe_rows, *weights_flat)
 

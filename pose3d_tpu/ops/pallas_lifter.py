@@ -60,6 +60,9 @@ MLP = 4 * DIM
 # M=272, so 272 is the knee. ROWS=1088 exceeds the 16MB scoped-VMEM
 # budget even with a hidden-chunked MLP (20.4M measured).
 ROWS = 272
+# frame-aligned attention-chunk width for the packed per-frame scores
+# (see ops/pallas_attention.frame_chunked_attention)
+ATTN_CHUNK = 136
 
 
 @dataclass(frozen=True)
@@ -115,7 +118,8 @@ def _packed_attention(qkv, mask):
     del mask  # the chunked helper builds its own per-chunk masks
     from pose3d_tpu.ops.pallas_attention import frame_chunked_attention
 
-    return frame_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD, 136)
+    return frame_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD,
+                                   ATTN_CHUNK)
 
 
 def _trunk_kernel(x_ref, pe_ref, *refs, n_blocks):

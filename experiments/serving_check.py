@@ -14,34 +14,55 @@ def log(m): print(m, file=sys.stderr, flush=True)
 from pose3d_tpu.models.lifters import JointTransformerLifter
 from pose3d_tpu.serving import LifterService
 
-model = JointTransformerLifter()
+# bf16 model: the fused kernels are gated on model.dtype == bf16 (round-3
+# ADVICE fix) — an f32 model here would silently test XLA against XLA
+model = JointTransformerLifter(dtype=jnp.bfloat16)
+model_f32 = JointTransformerLifter()
 rng = np.random.default_rng(0)
 params = model.init({"params": jax.random.key(0)},
                     jnp.zeros((4, 17, 2)), train=False)["params"]
 svc = LifterService(model, params, max_batch=256)
-assert svc._fn is not None
 out = svc.lift(rng.random((137, 17, 2)).astype(np.float32))  # odd size -> pad
 assert out.shape == (137, 17, 3) and np.isfinite(out).all()
-# parity vs the plain apply
+# parity vs the f32 plain apply
 x_test = rng.random((64, 17, 2)).astype(np.float32)
 ref = np.asarray(jax.jit(
-    lambda p, x: model.apply({"params": p}, x, train=False)
+    lambda p, x: model_f32.apply({"params": p}, x, train=False)
 )(params, jnp.asarray(x_test)))
 got = svc.lift(x_test)
 err = np.abs(got - ref).max()
 log(f"LifterService fused route: odd-batch ok, parity {err:.4f}")
 assert err < 5e-2
 
+# f32 model must NOT take the fused bf16 route: parity vs f32 apply is
+# then exact (same program)
+svc_f32 = LifterService(model_f32, params, max_batch=64)
+err32 = np.abs(svc_f32.lift(x_test) - ref).max()
+log(f"f32 model keeps f32 numerics: {err32:.2e}")
+assert err32 < 1e-6
+
 # non-default arch must fall back, not silently mis-serve
-svc8 = LifterService(JointTransformerLifter(heads=8), params, max_batch=64)
+svc8 = LifterService(JointTransformerLifter(heads=8, dtype=jnp.bfloat16),
+                     params, max_batch=64)
 out8 = svc8.lift(x_test)
 log(f"heads=8 fallback route ok ({np.abs(out8).mean():.3f})")
+
+# mesh serving on a 1-device TPU mesh: the shard_map wrapping must lower
+# the fused Pallas kernels on-chip (the virtual-CPU test only covers the
+# plain-apply route)
+from pose3d_tpu.parallel.mesh import make_mesh
+
+svc_mesh = LifterService(model, params, max_batch=256,
+                         mesh=make_mesh(devices=jax.devices()[:1]))
+err_mesh = np.abs(svc_mesh.lift(x_test) - got).max()
+log(f"mesh(1-chip) serving vs single: {err_mesh:.2e}")
+assert err_mesh < 1e-6  # same kernels, same shard shapes
 
 # 2. lift_sequence through the fused temporal forward (438-frame tail case)
 from pose3d_tpu.models.temporal import TemporalLifter
 from pose3d_tpu.pipeline.lift import lift_sequence
 
-tm = TemporalLifter()
+tm = TemporalLifter(dtype=jnp.bfloat16)  # bf16: fused route gated on dtype
 tp = tm.init({"params": jax.random.key(1)},
              jnp.zeros((1, 243, 17, 2)))["params"]
 kp = rng.random((438, 17, 2)).astype(np.float32) * 900

@@ -71,7 +71,7 @@ def make_optimizer(
     decoupled, matching torch AdamW. Both proven by one-step transplant
     parity in tests/test_reference_parity_train.py.
     """
-    if kind not in ("adamw", "adam"):
+    if kind not in ("adamw", "adam", "sgd"):
         raise ValueError(kind)
     if weight_decay is None:
         weight_decay = 1e-2 if kind == "adamw" else 0.0
@@ -83,6 +83,14 @@ def make_optimizer(
         if kind == "adamw":
             chain.append(optax.adamw(learning_rate,
                                      weight_decay=weight_decay))
+        elif kind == "sgd":
+            # plain SGD (no reference trainer uses it; kept for ablations
+            # and for exact linear-in-gradients equivalence tests — Adam's
+            # first step is elementwise sign descent, which amplifies f32
+            # reduction-order noise on near-zero gradients to +-lr)
+            if weight_decay:
+                chain.append(optax.add_decayed_weights(weight_decay))
+            chain.append(optax.sgd(learning_rate))
         else:
             if weight_decay:
                 chain.append(optax.add_decayed_weights(weight_decay))

@@ -76,6 +76,68 @@ def make_lifter_train_step(loss: str = "mse", donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_dp_lifter_train_step(mesh, loss: str = "mse", donate: bool = True):
+    """Data-parallel lifter train step via ``shard_map`` — the mesh path
+    for apply_fns built from Pallas kernels.
+
+    The GSPMD jit path (annotate shardings, let XLA partition) cannot
+    split a ``pallas_call``: fused-kernel train steps
+    (ops/pallas_stblock_train.make_fused_train_apply) would replicate or
+    fail under it. Here each shard runs the identical single-chip program
+    on its batch slice; loss and grads are ``pmean``ed and per-joint MPJPE
+    sums ``psum``ed over the data axis — numerically the global-batch
+    step, since MSE/L1 means over equal shards compose exactly.
+
+    Stats-free models only (the temporal lifter has no BatchNorm); BN
+    models keep the GSPMD path where batch stats are globally reduced
+    (tests/test_mesh_image.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pose3d_tpu.parallel.mesh import DATA_AXIS
+
+    loss_fn_ = LOSS_FNS[loss]
+
+    def step(state, y1, y2, rng):
+        if state.batch_stats:
+            raise ValueError(
+                "shard_map DP step supports stats-free models only; "
+                "BatchNorm models go through the GSPMD jit path")
+
+        apply_fn = state.apply_fn  # static — safe to close over
+
+        def per_shard(params, y1s, y2s, r):
+            # distinct dropout stream per shard, as one global batch would
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+
+            def loss_fn(p):
+                out = apply_fn({"params": p}, y1s, train=True,
+                               rngs={"dropout": r})
+                pred = out.reshape(y2s.shape)
+                return loss_fn_(pred, y2s), pred
+
+            (lv, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            lv = jax.lax.pmean(lv, DATA_AXIS)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            mpjpe = jax.lax.psum(losses.loss_mpjpe(pred, y2s), DATA_AXIS)
+            return lv, grads, mpjpe
+
+        loss_val, grads, mpjpe = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            # pallas_call out_shapes carry no varying-manner annotation;
+            # replication of the outputs is guaranteed by the pmean/psum
+            check_vma=False,
+        )(state.params, y1, y2, rng)
+        state = state.with_lr(state.plateau.lr)
+        state = state.apply_gradients(grads, None)
+        return state, {"loss": loss_val, "mpjpe_sums": mpjpe}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_lifter_eval_step(loss: str = "mse", flip_tta: bool = False):
     """Build a jitted (state, y1, y2) -> metrics eval step.
 

@@ -61,6 +61,7 @@ def train(cfg: TemporalConfig):
         model, jax.random.key(cfg.seed),
         jnp.zeros((2, cfg.clip_len, 17, 2)), lr=cfg.lr,
     )
+    fused = False
     if (cfg.use_pallas_train and jax.default_backend() == "tpu"
             and cfg.hidden == 256 and cfg.heads == 8):
         # fused Pallas fwd+bwd sub-blocks (remat-in-kernel, dW accumulated
@@ -70,13 +71,23 @@ def train(cfg: TemporalConfig):
 
         state = state.replace(apply_fn=make_fused_train_apply(
             n_blocks=cfg.n_blocks, clip_len=cfg.clip_len))
+        fused = True
         print("train step: fused Pallas sub-block kernels")
     state = jax.device_put(state, replicated(mesh))
     if cfg.resume and ckpt.exists(cfg.log_dir, cfg.run_name):
         state, _ = ckpt.restore(state, cfg.log_dir, cfg.run_name)
         print(f"resumed at step {int(state.step)}")
 
-    step = make_lifter_train_step(cfg.loss)
+    if fused and mesh.devices.size > 1:
+        # GSPMD cannot partition a pallas_call: multi-chip fused training
+        # goes through the shard_map DP step (single-device oracle:
+        # tests/test_mesh_temporal_fused.py)
+        from pose3d_tpu.train.steps import make_dp_lifter_train_step
+
+        step = make_dp_lifter_train_step(mesh, cfg.loss)
+        print(f"train step: shard_map DP over {mesh.devices.size} chips")
+    else:
+        step = make_lifter_train_step(cfg.loss)
     eval_step = make_lifter_eval_step(cfg.loss)
     logger = MetricLogger(cfg.log_dir, cfg.run_name, config={
         "learning_rate": cfg.lr, "architecture": "temporal_transformer",
@@ -84,6 +95,9 @@ def train(cfg: TemporalConfig):
     })
 
     bs = min(cfg.batch_size, len(c2))
+    if fused and mesh.devices.size > 1:
+        bs -= bs % mesh.devices.size  # shard_map needs even shards
+        assert bs > 0, "batch smaller than the data axis"
     n_train = (len(c2) // bs) * bs * cfg.clip_len
     for epoch in range(cfg.n_epochs):
         it = prefetch_to_device(

@@ -24,34 +24,81 @@ from pose3d_tpu.core.transforms import flip_pose
 from pose3d_tpu.train.steps import LOSS_FNS, _apply
 
 
-def make_lifter_epoch_fn(loss: str = "mse", donate: bool = True):
+def make_lifter_epoch_fn(loss: str = "mse", donate: bool = True, mesh=None):
     """Build a jitted (state, y1_batches, y2_batches, rng) -> (state, metrics)
     whole-epoch function.
 
     y1_batches: (n_batches, B, 17, 2); y2_batches: (n_batches, B, 17, 3) —
     pre-shuffled on host (cheap: pure indexing) or on device.
     Metrics: {"loss": scalar epoch mean, "mpjpe_sums": (J,) epoch sums}.
+
+    ``mesh``: data-parallel multi-chip epochs. The per-step gradient
+    computation runs under ``shard_map`` over the mesh's data axis inside
+    the scan body (required for Pallas-kernel apply_fns — GSPMD cannot
+    partition a pallas_call; see train.steps.make_dp_lifter_train_step for
+    the single-step variant and the numerical contract). Stats-free models
+    only.
     """
     loss_fn_ = LOSS_FNS[loss]
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from pose3d_tpu.parallel.mesh import DATA_AXIS
 
     def epoch(state, y1_batches, y2_batches, rng):
         n_batches = y1_batches.shape[0]
+        if mesh is not None and state.batch_stats:
+            raise ValueError(
+                "mesh epochs support stats-free models only; BatchNorm "
+                "models go through the GSPMD jit path")
 
-        def body(carry, xs):
-            state = carry
-            y1, y2, step_rng = xs
-
+        def grad_and_metrics(state, y1, y2, step_rng):
             def loss_fn(params):
-                out, new_bs = _apply(state, params, y1, train=True, rng=step_rng)
+                out, new_bs = _apply(state, params, y1, train=True,
+                                     rng=step_rng)
                 pred = out.reshape(y2.shape)
                 return loss_fn_(pred, y2), (pred, new_bs)
 
             (loss_val, (pred, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            return loss_val, grads, new_bs, losses.loss_mpjpe(pred, y2)
+
+        def grad_and_metrics_dp(state, y1, y2, step_rng):
+            apply_fn = state.apply_fn  # static — safe to close over
+
+            def per_shard(params, y1s, y2s, r):
+                r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+
+                def loss_fn(p):
+                    out = apply_fn({"params": p}, y1s, train=True,
+                                   rngs={"dropout": r})
+                    pred = out.reshape(y2s.shape)
+                    return loss_fn_(pred, y2s), pred
+
+                (lv, pred), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                lv = jax.lax.pmean(lv, DATA_AXIS)
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                mpjpe = jax.lax.psum(losses.loss_mpjpe(pred, y2s), DATA_AXIS)
+                return lv, grads, mpjpe
+
+            lv, grads, mpjpe = jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )(state.params, y1, y2, step_rng)
+            return lv, grads, None, mpjpe
+
+        def body(carry, xs):
+            state = carry
+            y1, y2, step_rng = xs
+            fn = grad_and_metrics if mesh is None else grad_and_metrics_dp
+            loss_val, grads, new_bs, mpjpe = fn(state, y1, y2, step_rng)
             state = state.with_lr(state.plateau.lr)
             state = state.apply_gradients(grads, new_bs)
-            return state, (loss_val, losses.loss_mpjpe(pred, y2))
+            return state, (loss_val, mpjpe)
 
         rngs = jax.random.split(rng, n_batches)
         state, (loss_per_batch, mpjpe_per_batch) = jax.lax.scan(

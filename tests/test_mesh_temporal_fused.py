@@ -70,6 +70,35 @@ class TestDPFusedTemporalStep:
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
                 err_msg=jax.tree_util.keystr(path))
 
+    def test_mesh_epoch_matches_single_device(self, devices, fused_state):
+        """Whole-epoch scan with the shard_map DP grads inside the body:
+        3 batches through the mesh epoch == 3 batches single-device."""
+        from pose3d_tpu.train.epoch import make_lifter_epoch_fn
+
+        rng = np.random.default_rng(2)
+        y1 = jnp.asarray(rng.random((3, B, T, 17, 2)).astype(np.float32))
+        y2 = jnp.asarray(
+            rng.random((3, B, T, 17, 3)).astype(np.float32) - 0.5)
+        key = jax.random.key(5)
+
+        e_one = make_lifter_epoch_fn(donate=False)
+        s_one, m_one = e_one(fused_state, y1, y2, key)
+        e_dp = make_lifter_epoch_fn(donate=False, mesh=make_mesh())
+        s_dp, m_dp = e_dp(fused_state, y1, y2, key)
+
+        # 3 compounding SGD steps: f32 reduction-order noise accumulates
+        np.testing.assert_allclose(float(m_dp["loss"]),
+                                   float(m_one["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_dp["mpjpe_sums"]),
+                                   np.asarray(m_one["mpjpe_sums"]),
+                                   rtol=1e-5)
+        flat_a = jax.tree_util.tree_leaves_with_path(s_dp.params)
+        flat_b = jax.tree_util.tree_leaves(s_one.params)
+        for (path, a), b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+                err_msg=jax.tree_util.keystr(path))
+
     def test_batch_stats_models_rejected(self, devices):
         from pose3d_tpu.models.lifters import MartinezLifter
 

@@ -155,10 +155,23 @@ def _add_fields(parser: argparse.ArgumentParser, cls, prefix=""):
 
 
 def parse_config(cls, argv=None):
-    """Build a config dataclass from CLI flags (--field value, --data.field)."""
+    """Build a config dataclass from CLI flags (--field value, --data.field).
+
+    The extra ``--cpu`` flag (not a config field) pins jax to the CPU
+    backend before first use — the only reliable opt-out in environments
+    whose jax build hard-pins ``jax_platforms`` to a TPU plugin (the
+    JAX_PLATFORMS env var is ignored there, and an unreachable TPU makes
+    backend init hang indefinitely).
+    """
     parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (skip TPU init)")
     _add_fields(parser, cls)
     args = vars(parser.parse_args(argv))
+    if args.pop("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     data_kwargs = {k.split(".", 1)[1]: v for k, v in args.items()
                    if k.startswith("data.") and v is not None}
     main_kwargs = {k: v for k, v in args.items()

@@ -13,6 +13,16 @@ Usage:
 
 from __future__ import annotations
 
+# --cpu must take effect BEFORE any import that can initialize jax's
+# backends (flax/orbax touch them at import): an unreachable TPU plugin
+# otherwise hangs the process before argument parsing even runs
+import sys
+
+if "--cpu" in sys.argv:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import argparse
 import pathlib
 
@@ -62,6 +72,8 @@ def process_video(video: str, root, detector, lifter=None,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (handled at import)")
     p.add_argument("--video", required=True)
     p.add_argument("--root", default="./videos")
     p.add_argument("--detector", default="mock",

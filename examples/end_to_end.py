@@ -8,6 +8,8 @@ Runs hermetically (synthetic data, mock detector) on CPU or TPU:
   5. temporal sequence lifter        (reference: external MotionBERT)
   6. video -> keypoints -> 3D        (reference: phase2 run.py)
   7. serve the lifter                (new: production serving path)
+  8. multi-chip: DP serving + DP fused-kernel temporal training over
+     the device mesh via shard_map  (new: parallel/ + train.steps)
 
 Usage:  python examples/end_to_end.py [--cpu] [--workdir DIR]
 """
@@ -42,14 +44,14 @@ def main():
 
     data = DataConfig(synthetic_frames=2048)
 
-    print("\n[1/7] phase-1 lifter")
+    print("\n[1/8] phase-1 lifter")
     from pose3d_tpu.cli.train_lift import train as train_lift
 
     lift_state = train_lift(LiftConfig(
         n_epochs=3, batch_size=128, run_name="lifter", log_dir=logs, data=data,
     ))
 
-    print("\n[2/7] projector")
+    print("\n[2/8] projector")
     from pose3d_tpu.cli.train_project import train as train_project
 
     train_project(LiftConfig(
@@ -57,7 +59,7 @@ def main():
         data=data,
     ))
 
-    print("\n[3/7] phase-5 consistency loop (triangle + flip + project)")
+    print("\n[3/8] phase-5 consistency loop (triangle + flip + project)")
     from pose3d_tpu.cli.train_loop import train as train_loop
 
     train_loop(LoopConfig(
@@ -68,7 +70,7 @@ def main():
         data=DataConfig(synthetic_frames=64),
     ))
 
-    print("\n[4/7] direct image->3D (phase 3)")
+    print("\n[4/8] direct image->3D (phase 3)")
     from pose3d_tpu.cli.train_direct import infer, train as train_direct
     from pose3d_tpu.config import DirectConfig
 
@@ -80,7 +82,7 @@ def main():
     train_direct(dcfg)
     infer(dcfg)
 
-    print("\n[5/7] temporal sequence lifter (243-frame capability, small here)")
+    print("\n[5/8] temporal sequence lifter (243-frame capability, small here)")
     from pose3d_tpu.cli.train_temporal import train as train_temporal
     from pose3d_tpu.config import TemporalConfig
 
@@ -90,7 +92,7 @@ def main():
         data=DataConfig(synthetic_frames=512),
     ))
 
-    print("\n[6/7] video -> keypoints -> 3D pipeline")
+    print("\n[6/8] video -> keypoints -> 3D pipeline")
     from pose3d_tpu.pipeline.detector import MockDetector
     from pose3d_tpu.pipeline.run import process_video
     from pose3d_tpu.pipeline.video import write_video
@@ -113,7 +115,7 @@ def main():
     print(f"pipeline output: {poses.shape} ->",
           work / "videos" / "MB_npy" / "demo.mp4.npy")
 
-    print("\n[7/7] serving")
+    print("\n[7/8] serving")
     from pose3d_tpu.models.lifters import JointTransformerLifter
     from pose3d_tpu.serving import LifterService
     from pose3d_tpu.train.checkpoint import restore_params
@@ -125,6 +127,37 @@ def main():
     svc = LifterService(model, params, max_batch=512, min_bucket=64)
     out = svc.lift(rng.random((300, 17, 2)).astype(np.float32))
     print(f"served {out.shape}; all artifacts under {work}")
+
+    print("\n[8/8] multi-chip (mesh) paths")
+    import jax
+
+    from pose3d_tpu.parallel.mesh import make_mesh
+    from pose3d_tpu.train.steps import make_dp_lifter_train_step
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    svc_dp = LifterService(model, params, max_batch=512, min_bucket=8 * n,
+                           mesh=mesh)
+    out_dp = svc_dp.lift(rng.random((100, 17, 2)).astype(np.float32))
+    print(f"DP serving over {n} device(s): {out_dp.shape}")
+    # fused-kernel DP training (GSPMD cannot partition a pallas_call:
+    # this is the shard_map route; kernels interpret on CPU)
+    from pose3d_tpu.ops.pallas_stblock_train import make_fused_train_apply
+    from pose3d_tpu.models.temporal import TemporalLifter as TL
+
+    dp_model = TL(clip_len=12, n_blocks=1)
+    dstate = create_train_state(dp_model, jax.random.key(3),
+                                jnp.zeros((n, 12, 17, 2)), lr=1e-3)
+    dstate = dstate.replace(apply_fn=make_fused_train_apply(
+        n_blocks=1, clip_len=12,
+        interpret=jax.default_backend() != "tpu"))
+    dp_step = make_dp_lifter_train_step(mesh, donate=False)
+    dstate, dm = dp_step(
+        dstate, jnp.asarray(rng.random((n, 12, 17, 2), np.float32)),
+        jnp.asarray(rng.random((n, 12, 17, 3), np.float32) - 0.5),
+        jax.random.key(4))
+    print(f"DP fused-kernel train step over {n} device(s): "
+          f"loss {float(dm['loss']):.4f}")
     print("\n== DONE ==")
 
 

@@ -12,20 +12,25 @@ now runs as ONE kernel, entirely in VMEM, weights resident via constant
 index_map:
 
 - spatial half (`spatial_block_fused`): flat (N*17, 256) rows, 544-row
-  grid cells (32 frames), block-diagonal-masked 17-token attention —
-  the ops/pallas_lifter recipe. Differences from the lifter trunk:
-  single LN before attention (no double-LN quirk), qkv/proj biases,
-  8 heads of 32.
-- temporal half (`temporal_block_fused`): one 243-frame sequence per
-  grid cell via (1, L, 256) blocks (Mosaic pads L internally), full
-  attention.
+  grid cells (32 frames), exact per-frame attention computed in
+  frame-aligned 136-row score chunks (ops/pallas_attention.
+  frame_chunked_attention) — the ops/pallas_lifter recipe. Differences
+  from the lifter trunk: single LN before attention (no double-LN
+  quirk), qkv/proj biases, 8 heads of 32.
+- temporal half (`temporal_slab_fused`): one clip per grid cell in the
+  FRAME-MAJOR slab layout (1, T, 17*256) — joint j's sequence is a
+  static 256-lane slice, and the slab is byte-identical to the spatial
+  kernel's flat rows, so the inter-branch regrouping is a free reshape
+  (the earlier joint-major `temporal_block_fused`, kept for
+  tests/fallback, cost ten XLA transposes per forward).
 
 ``temporal_forward_fused`` runs the whole TemporalLifter inference:
 embed+PE and head in XLA on flat rows, the ten sub-blocks in these
-kernels. Measured B=16 ladder (ROUND2_NOTES): XLA apply 47.9 ms ->
-attention kernels 35.8 -> +fused spatial 28.4 -> +fused temporal
-**23.6 ms (2.03x)**. Inference-only (serving); training keeps the flax
-module. Parity test: tests/test_pallas_stblock.py.
+kernels. Measured B=16 ladder: XLA apply 47.9 ms -> attention kernels
+35.8 -> +fused spatial 28.4 -> +fused temporal 23.6 (ROUND2_NOTES) ->
+clamp-softmax 18.2 (ROUND3_NOTES; chunked scores + slab layout pending
+re-measure). Inference-only (serving); training uses the fused train
+kernels (ops/pallas_stblock_train). Parity: tests/test_pallas_stblock.py.
 
 Reference provenance: the block structure is this framework's native
 MotionBERT-equivalent (SURVEY.md section 5 long-context; reference

@@ -20,9 +20,13 @@ activations round-trip HBM) and emits
   sequentially, so init-at-cell-0 + accumulate is exact).
 
 Two instantiations share the math:
-- spatial: flat (n_frames*17, 256) rows, block-diagonal 17-token mask,
-  ``TRAIN_ROWS``-row cells;
-- temporal: one (clip, joint) 243-frame sequence per cell, full attention.
+- spatial: flat (n_frames*17, 256) rows, ``TRAIN_ROWS``-row cells, exact
+  per-frame attention in frame-aligned ``ATTN_CHUNK`` score chunks;
+- temporal: one clip per cell in the FRAME-MAJOR slab layout
+  (1, T, 17*256) with per-joint lane slices (``temporal_slab_train``) —
+  byte-identical to the spatial kernel's flat rows, so the inter-branch
+  regrouping is a free reshape both forward and backward (the
+  joint-major ``temporal_block_train`` is kept for tests/fallback).
 
 ``temporal_train_forward_fused`` rebuilds the differentiable TemporalLifter
 forward around these custom_vjp sub-blocks (embed/PE/head and the

@@ -78,6 +78,43 @@ class TestPackedFlatAttention:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+class TestFrameChunkedAttention:
+    """frame_chunked_attention must equal the single full-width masked
+    product for every chunk alignment, including the fallback paths."""
+
+    @pytest.mark.parametrize("rows,chunk", [
+        (272, 136),   # clean split (2 chunks of 8 frames)
+        (544, 136),   # 4 chunks
+        (272, 272),   # chunk == rows -> fallback
+        (272, 100),   # rows % chunk != 0 -> fallback
+        (272, 50),    # chunk % seq != 0 -> fallback
+    ])
+    def test_equals_masked_full_width(self, rows, chunk):
+        from pose3d_tpu.ops.pallas_attention import (
+            block_diag_mask,
+            frame_chunked_attention,
+            masked_heads_attention,
+        )
+
+        rng = np.random.default_rng(7)
+        heads, dh = 8, 32
+        qkv = jnp.asarray(rng.standard_normal(
+            (rows, 3 * heads * dh)).astype(np.float32))
+        want = masked_heads_attention(
+            qkv, block_diag_mask(rows, 17), heads, dh)
+        got = frame_chunked_attention(qkv, 17, heads, dh, chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_chunk_for(self):
+        from pose3d_tpu.ops.pallas_attention import chunk_for
+
+        assert chunk_for(17) == 136  # 8 frames
+        assert chunk_for(16) == 128
+        assert chunk_for(18) == 126 + 18 or chunk_for(18) % 18 == 0
+        assert chunk_for(18) >= 128
+
+
 class TestSeqAttention:
     def test_matches_xla(self):
         rng = np.random.default_rng(0)

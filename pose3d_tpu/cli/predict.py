@@ -48,6 +48,8 @@ def main(argv=None):
                         "reads the checkpoint's .meta.json sidecar (written "
                         "at train time — heads is not recoverable from "
                         "param shapes), falling back to 8")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (handled at import)")
     args = p.parse_args(argv)
 
     import jax

@@ -171,7 +171,12 @@ def _attention_bwd(qkv, datt, seq, dt):
     """
     rows = qkv.shape[0]
     scale = DIM_HEAD ** -0.5
-    if seq is None or ATTN_CHUNK >= rows or rows % ATTN_CHUNK:
+    if (seq is None or ATTN_CHUNK >= rows or rows % ATTN_CHUNK
+            or ATTN_CHUNK % seq):
+        # same predicate as frame_chunked_attention's forward fallback —
+        # a chunk that is not a multiple of seq would split a sequence
+        # across chunks and the per-chunk block-diagonal mask would be
+        # misaligned (silently wrong gradients)
         spans = [(0, rows)]
         mask = None if seq is None else block_diag_mask(rows, seq)
     else:

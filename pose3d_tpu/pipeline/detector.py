@@ -128,9 +128,12 @@ class PoseNet2DDetector(Detector2D):
             self._infer = infer
         infer = self._infer
 
-        # enqueue all chunks first (async dispatch overlaps transfers with
-        # detector compute), then drain
-        pending = []
+        # enqueue a bounded window of chunks (async dispatch overlaps
+        # transfers with detector compute), draining the oldest result once
+        # the window fills — unbounded enqueue keeps every uint8 input
+        # buffer in flight at once (a 30k-frame video is ~6 GB of HBM)
+        max_inflight = 6
+        pending, preds = [], []
         bs = self.batch_size
         for s in range(0, len(frames), bs):
             chunk = frames[s : s + bs]
@@ -141,7 +144,10 @@ class PoseNet2DDetector(Detector2D):
             pending.append((pad, infer(self.state.params,
                                        self.state.batch_stats,
                                        jnp.asarray(chunk))))
-        preds = [np.asarray(coords)[: bs - pad] for pad, coords in pending]
+            if len(pending) >= max_inflight:
+                p, c = pending.pop(0)
+                preds.append(np.asarray(c)[: bs - p])
+        preds += [np.asarray(coords)[: bs - pad] for pad, coords in pending]
         coords = np.concatenate(preds).reshape(-1, 17, 2) * 1000.0  # [0,1]->px
         for f, kp in zip(files, coords):
             person = {

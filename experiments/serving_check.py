@@ -39,7 +39,10 @@ assert err < 5e-2
 svc_f32 = LifterService(model_f32, params, max_batch=64)
 err32 = np.abs(svc_f32.lift(x_test) - ref).max()
 log(f"f32 model keeps f32 numerics: {err32:.2e}")
-assert err32 < 1e-6
+# 1e-5 not 1e-6: on CPU the service's compiled program can differ from the
+# plain jit by reduction order (~2e-6 observed); the bf16 fused route it
+# guards against would show ~3e-2
+assert err32 < 1e-5
 
 # non-default arch must fall back, not silently mis-serve
 svc8 = LifterService(JointTransformerLifter(heads=8, dtype=jnp.bfloat16),

@@ -64,9 +64,11 @@ def process_video(video: str, root, detector, lifter=None,
         render_2d_video(final_json, frames_dir,
                         root / "opp_2d_frames" / video / "out.mp4", fps)
         if poses is not None:
-            centred = poses - poses[:, :1]
-            render_3d_video(centred, root / "MB_3d_frames" / video / "out.mp4",
-                            fps, scale=2.8)  # reference scale (run.py:342)
+            # reference convention (run.py:305-352): camera->global rotation
+            # via the S1-cam2 quaternion (:312-316, :336) then x2.8 (:343);
+            # root-centring is commented out there (:339-341), so none here
+            render_3d_video(poses, root / "MB_3d_frames" / video / "out.mp4",
+                            fps, scale=2.8, to_global=True)
     return poses
 
 

@@ -142,12 +142,26 @@ def render_2d_video(json_path, frames_dir, out_mp4, fps: float = 10.0):
     return write_video(frames(), out_mp4, fps)
 
 
-def render_3d_video(poses, out_mp4, fps: float = 10.0, scale: float = 1.0):
-    """(T,17,3) sequence -> rotating-skeleton mp4 (run.py:305-352)."""
+def render_3d_video(poses, out_mp4, fps: float = 10.0, scale: float = 1.0,
+                    to_global: bool = False, subject: str = "S1",
+                    camera: int = 2):
+    """(T,17,3) sequence -> rotating-skeleton mp4 (run.py:305-352).
+
+    ``to_global=True`` reproduces the reference's MotionBERT display
+    convention: camera->global rotation via the subject/camera extrinsics
+    quaternion then x2.8 (run.py:312-316, :343) — pass ``scale=2.8`` for
+    exact parity (kept separate so the knob stays orthogonal).
+    """
     import io
 
+    poses = np.asarray(poses)
+    if to_global:
+        from pose3d_tpu.pipeline.keypoints import rotate_to_global
+
+        poses = rotate_to_global(poses, subject=subject, camera=camera)
+
     def frames():
-        for pose in np.asarray(poses) * scale:
+        for pose in poses * scale:
             fig = plt.figure()
             ax = fig.add_subplot(projection="3d")
             x, y, z = pose.T

@@ -134,6 +134,44 @@ class TestMotionBertNpy:
         render_3d_video(rot, out, fps=5.0, scale=2.8)
         assert out.exists() and out.stat().st_size > 0
 
+    def test_rotation_matches_reference_inline_formula(self):
+        """rotate_to_global vs a numpy oracle that spells out the reference's
+        inline quaternion->R expansion verbatim (run.py:311-316) on the
+        S1-cam2 extrinsics from core/cameras.py."""
+        from pose3d_tpu.core.cameras import extrinsics
+        from pose3d_tpu.pipeline.keypoints import load_mb_npy, rotate_to_global
+
+        q, _ = extrinsics("S1", 2)
+        q = np.asarray(q, dtype=np.float64)
+        r_oracle = np.array([
+            [1 - 2 * q[2] ** 2 - 2 * q[3] ** 2,
+             2 * q[1] * q[2] - 2 * q[0] * q[3],
+             2 * q[0] * q[2] + 2 * q[1] * q[3]],
+            [2 * q[1] * q[2] + 2 * q[0] * q[3],
+             1 - 2 * q[1] ** 2 - 2 * q[3] ** 2,
+             2 * q[2] * q[3] - 2 * q[0] * q[1]],
+            [2 * q[1] * q[3] - 2 * q[0] * q[2],
+             2 * q[0] * q[1] + 2 * q[2] * q[3],
+             1 - 2 * q[1] ** 2 - 2 * q[2] ** 2],
+        ])
+        arr = load_mb_npy(MB_DIR / "yuzu_black.mp4.npy")[:8]
+        np.testing.assert_allclose(
+            rotate_to_global(arr, subject="S1", camera=2),
+            arr @ r_oracle.T, atol=1e-6)
+
+    def test_render_3d_to_global_flag_applies_rotation(self, tmp_path):
+        """render_3d_video(to_global=True) must equal pre-rotating by hand
+        (the create_3d_mp4 display convention, run.py:336+343) — compared
+        via identical mp4 bytes on the same input."""
+        from pose3d_tpu.pipeline.keypoints import load_mb_npy, rotate_to_global
+        from pose3d_tpu.utils.visualize import render_3d_video
+
+        arr = load_mb_npy(MB_DIR / "yuzu_black.mp4.npy")[:2]
+        a, b = tmp_path / "flag.mp4", tmp_path / "manual.mp4"
+        render_3d_video(arr, a, fps=5.0, scale=2.8, to_global=True)
+        render_3d_video(rotate_to_global(arr), b, fps=5.0, scale=2.8)
+        assert a.read_bytes() == b.read_bytes()
+
 
 class TestNormalizationArtifacts:
     """The committed stats npys pin the f32/f64 dtype contract that

@@ -4,6 +4,10 @@ Builds tiny VideoPose3D-format npz files (the reference's input format,
 H36_dataset.py:302-379) so the real-data code path is exercised hermetically.
 """
 
+import json
+import os
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -119,3 +123,61 @@ class TestRealDataTrainerPath:
         )
         state = train(cfg)
         assert int(state.step) > 0
+
+
+class TestVideoPose3DExportSchema:
+    def test_reads_genuine_export_schema(self, tmp_path, rng):
+        """Format-parity against the exact on-disk schema the VideoPose3D
+        prepare scripts emit (and the reference consumes,
+        H36_dataset.py:302-313): savez_COMPRESSED, a dict-of-dicts object
+        array under the key, float32 payloads, and a 'metadata' entry in
+        the 2D file that the reader must ignore."""
+        npz = tmp_path / "npz"
+        npz.mkdir()
+        sel = list(h36m.H36M_KEYPOINTS_FROM_32)
+        pos3d = {"S1": {"Walking 1": rng.standard_normal(
+            (10, N_RAW, 3)).astype(np.float32)}}
+        pos2d = {"S1": {"Walking 1": rng.random(
+            (10, N_RAW, 2)).astype(np.float32)}}
+        np.savez_compressed(npz / "data_3d_h36m_mono.npz",
+                            positions_3d_mono=pos3d)
+        np.savez_compressed(
+            npz / "data_2d_h36m.npz", positions_2d=pos2d,
+            metadata={"layout_name": "h36m", "num_joints": 32,
+                      "keypoints_symmetry": [[4, 5, 6, 11, 12, 13],
+                                             [1, 2, 3, 14, 15, 16]]})
+        kp2d, kp3d, _, _ = h36m.read_data(tmp_path, ("S1",), "")
+        assert kp2d.shape == (10, 17, 2) and kp3d.shape == (10, 17, 3)
+        np.testing.assert_array_equal(kp3d, pos3d["S1"]["Walking 1"][:, sel])
+        np.testing.assert_array_equal(kp2d, pos2d["S1"]["Walking 1"][:, sel])
+
+
+REAL_H36M = pathlib.Path(os.environ.get("H36M_DATA_DIR", "/root/data/h3.6"))
+
+
+@pytest.mark.skipif(
+    not (REAL_H36M / "npz" / "data_2d_h36m.npz").exists(),
+    reason="real H36M export not present (set H36M_DATA_DIR)",
+)
+class TestRealH36M:
+    """Integration on the genuine export: read_data -> preprocess ->
+    1 epoch -> MPJPE (the VERDICT r3 readiness clause). Run with
+    H36M_DATA_DIR=/path/to/h3.6 pytest tests/test_h36m_reader.py -k Real."""
+
+    def test_one_epoch_mpjpe_on_real_slice(self, tmp_path):
+        from pose3d_tpu.config import DataConfig, LiftConfig
+        from pose3d_tpu.cli.train_lift import train
+
+        cfg = LiftConfig(
+            n_epochs=1, batch_size=64, run_name="real_h36m_smoke",
+            log_dir=str(tmp_path / "logs"),
+            data=DataConfig(data_dir=str(REAL_H36M), action="Walking",
+                            train_subjects=("S1",), test_subjects=("S9",),
+                            split_rate=5),
+        )
+        state = train(cfg)
+        assert int(state.step) > 0
+        log = tmp_path / "logs" / "runs" / "real_h36m_smoke.jsonl"
+        rec = json.loads(log.read_text().splitlines()[-1])
+        mpjpe = rec["val_mpjpe"]
+        assert np.isfinite(mpjpe) and 0.0 < mpjpe < 1000.0

@@ -51,9 +51,21 @@ def save(state, log_dir, run_name: str, *, batch_size: int | None = None,
     return str(path)
 
 
+def _leaf_template(x):
+    """Restore template leaf: mesh-sharded jax.Arrays become abstract
+    ShapeDtypeStructs CARRYING their sharding, so orbax materializes each
+    shard directly on its device (no replicated host round-trip and the
+    resumed state keeps the exact TP/DP layout it was saved under);
+    everything else restores as host numpy."""
+    if isinstance(x, jax.Array) and isinstance(
+            x.sharding, jax.sharding.NamedSharding):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+    return np.asarray(x)
+
+
 def restore(state, log_dir, run_name: str):
-    """Restore into the shape of an existing TrainState. Returns
-    (state, meta dict)."""
+    """Restore into the shape (and sharding) of an existing TrainState.
+    Returns (state, meta dict)."""
     import json
 
     from pose3d_tpu.train.schedule import PlateauState
@@ -66,8 +78,9 @@ def restore(state, log_dir, run_name: str):
         "opt_state": state.opt_state,
         "plateau": dataclasses.asdict(state.plateau),
     }
-    # orbax restores concrete arrays matching the template's structure/dtypes
-    template = jax.tree_util.tree_map(np.asarray, template)
+    # orbax restores arrays matching the template's structure/dtypes, onto
+    # the template's shardings where the live state is mesh-sharded
+    template = jax.tree_util.tree_map(_leaf_template, template)
     with ocp.StandardCheckpointer() as ckptr:
         payload = ckptr.restore(path, template)
     state = state.replace(

@@ -115,6 +115,39 @@ def main():
     print(f"pipeline output: {poses.shape} ->",
           work / "videos" / "MB_npy" / "demo.mp4.npy")
 
+    print("\n[6b/8] REAL detection: trained PoseNet2D on a rendered video")
+    # the video's frames are rendered ON DEVICE from known poses, so the
+    # whole detect->lift path gets a measurable accuracy number (the
+    # reference never quantifies its openpifpaf+MotionBERT pipeline)
+    from pose3d_tpu.cli.train_detector import train as train_detector
+    from pose3d_tpu.config import DetectorConfig
+    from pose3d_tpu.data.synthetic import render_pose_frames, synthetic_h36m
+    from pose3d_tpu.pipeline.detector import PoseNet2DDetector
+    from pose3d_tpu.pipeline.keypoints import load_video_json
+
+    on_tpu = jax.default_backend() == "tpu"
+    det_state, det_px = train_detector(DetectorConfig(
+        run_name="detector", log_dir=logs, architecture="resnet18",
+        n_steps=240 if on_tpu else 24, chunk_steps=8, batch_size=8,
+        n_train=512, n_eval=64, bf16=on_tpu))
+    gt2d, gt3d = synthetic_h36m(20, seed=5)
+    frames = np.asarray(render_pose_frames(gt2d, jax.random.key(5)))
+    write_video(iter((frames * 255).astype(np.uint8)),
+                work / "videos" / "raw_videos" / "skel.mp4", fps=10)
+    poses = process_video(
+        "skel.mp4", work / "videos",
+        PoseNet2DDetector(det_state, batch_size=8),
+        lifter, tstate.params, fps=100, already_h36m=True)
+    det2d, _, _ = load_video_json(
+        work / "videos" / "final_json_outputs" / "skel.mp4.json")
+    det_err_px = float(np.linalg.norm(det2d / 1000.0 - gt2d,
+                                      axis=-1).mean() * 256)
+    gt3d_c = gt3d - gt3d[:, :1]
+    mpjpe_mm = float(np.linalg.norm(
+        (poses - poses[:, :1]) - gt3d_c, axis=-1).mean() * 1000)
+    print(f"REAL pipeline accuracy: detection {det_err_px:.1f}px @256, "
+          f"lifted MPJPE {mpjpe_mm:.1f}mm vs synthetic GT")
+
     print("\n[7/8] serving")
     from pose3d_tpu.models.lifters import JointTransformerLifter
     from pose3d_tpu.serving import LifterService

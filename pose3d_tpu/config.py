@@ -84,6 +84,29 @@ class DirectConfig:
 
 
 @dataclasses.dataclass
+class DetectorConfig:
+    """2D-detector trainer config (cli/train_detector.py): PoseNet2D
+    distilled on device-rendered skeleton frames so the video pipeline's
+    --detector posenet2d route has trained weights (the reference's
+    equivalent capability is the external openpifpaf checkpoint,
+    phase2_opp_mb/run.py:134-166)."""
+
+    architecture: str = "resnet18"
+    batch_size: int = 32
+    n_steps: int = 600
+    lr: float = 1e-3
+    run_name: str = "detector2d"
+    resume: bool = False
+    image_size: int = 256
+    n_train: int = 4096              # synthetic pose pool size
+    n_eval: int = 256
+    chunk_steps: int = 8             # optimizer steps per dispatch (lax.scan)
+    log_dir: str = "./logs"
+    seed: int = 0
+    bf16: bool = True
+
+
+@dataclasses.dataclass
 class LoopConfig:
     """Phase-5 consistency-loop config (train_5.py:342-374)."""
 

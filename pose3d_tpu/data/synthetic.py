@@ -80,3 +80,66 @@ def synthetic_frames(n_frames: int, size: int = 256, seed: int = 0):
     the reference produces at H36_dataset.py:129-131 (resize 256, /256)."""
     rng = np.random.default_rng(seed)
     return rng.random((n_frames, size, size, 3), dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# On-device skeleton rendering: pixels a detector can actually learn from
+# ---------------------------------------------------------------------------
+
+# Deterministic per-joint palette (17,3) in [0.35,1): distinct colors give
+# the detector an unambiguous left/right signal, like markered mocap suits.
+_JOINT_COLORS = np.random.default_rng(7).uniform(0.35, 1.0, (NUM_JOINTS, 3)) \
+    .astype(np.float32)
+_BONE_POINTS = 6  # interior gaussian samples per bone segment
+
+
+def render_pose_frames(kp2d, key, size: int = 256, sigma: float = 2.5,
+                       noise: float = 0.12):
+    """Render (B,17,2) [0,1] keypoints into (B,size,size,3) skeleton frames.
+
+    TPU-native replacement for a real camera: every joint is a separable
+    2D gaussian blob in its palette color and every bone a chain of
+    interior blobs, composited with ONE einsum (the on-device target-
+    synthesis trick from ops/heatmap.py applied to RGB), plus uniform
+    background noise. Runs inside jit at training time, so the detector
+    trainer (cli/train_detector.py) needs only (B,17,2) on the wire —
+    the analogue of the reference's phase-5 image pathway
+    (phase5_loop/Model_2d.py:13-138) with frames the CI can synthesize.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.core.skeleton import BONES
+
+    kp = jnp.asarray(kp2d, jnp.float32)
+    b = kp.shape[0]
+    a_idx = jnp.asarray([e[0] for e in BONES])
+    b_idx = jnp.asarray([e[1] for e in BONES])
+    # interior points of each bone: (B, n_bones*K, 2)
+    ts = jnp.linspace(0.0, 1.0, _BONE_POINTS + 2)[1:-1]
+    pa, pb = kp[:, a_idx], kp[:, b_idx]
+    bone_pts = pa[:, :, None] + ts[None, None, :, None] * \
+        (pb - pa)[:, :, None]
+    bone_pts = bone_pts.reshape(b, -1, 2)
+
+    colors = jnp.asarray(_JOINT_COLORS)
+    bone_col = 0.4 * (colors[a_idx] + colors[b_idx]) / 2.0
+    bone_col = jnp.repeat(bone_col, _BONE_POINTS, axis=0)
+
+    pts = jnp.concatenate([kp, bone_pts], axis=1) * size   # pixel coords
+    cols = jnp.concatenate([colors, bone_col], axis=0)     # (P, 3)
+    widths = jnp.concatenate([
+        jnp.full((kp.shape[1],), sigma),
+        jnp.full((bone_pts.shape[1],), sigma * 0.7),
+    ])
+
+    grid = jnp.arange(size, dtype=jnp.float32) + 0.5
+    gx = jnp.exp(-0.5 * ((grid[None, None] - pts[..., :1])
+                         / widths[None, :, None]) ** 2)    # (B, P, size)
+    gy = jnp.exp(-0.5 * ((grid[None, None] - pts[..., 1:])
+                         / widths[None, :, None]) ** 2)
+    frames = jnp.einsum("bpy,bpx,pc->byxc", gy, gx, cols)
+    if noise:
+        frames = frames + noise * jax.random.uniform(
+            key, (b, size, size, 3))
+    return jnp.clip(frames, 0.0, 1.0)

@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--root", default="./videos")
     p.add_argument("--detector", default="mock",
                    choices=["mock", "openpifpaf", "posenet2d"])
+    p.add_argument("--detector_checkpoint", default=None,
+                   help="run name of a cli.train_detector checkpoint; "
+                        "without it the posenet2d route is a fresh init")
     p.add_argument("--lifter_checkpoint", default=None)
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--fps", type=float, default=10.0)
@@ -99,12 +102,28 @@ def main(argv=None):
 
         from pose3d_tpu.models.heads import PoseNet2D
         from pose3d_tpu.pipeline.detector import PoseNet2DDetector
+        from pose3d_tpu.train import checkpoint as ckpt
         from pose3d_tpu.train.state import create_train_state
 
-        model = PoseNet2D()
+        meta = (ckpt.load_meta(args.log_dir, args.detector_checkpoint)
+                if args.detector_checkpoint else {})
+        model = PoseNet2D(
+            architecture=meta.get("architecture", "resnet50"),
+            dtype=jnp.bfloat16 if meta.get("bf16") else jnp.float32,
+        )
         state = create_train_state(
             model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), lr=1e-3
         )
+        if args.detector_checkpoint and ckpt.exists(
+                args.log_dir, args.detector_checkpoint):
+            state, _ = ckpt.restore(state, args.log_dir,
+                                    args.detector_checkpoint)
+            print(f"detector restored from {args.detector_checkpoint} "
+                  f"({meta.get('architecture')}, "
+                  f"eval_px_err {meta.get('eval_px_err', '?')})")
+        elif args.detector_checkpoint:
+            print(f"detector checkpoint {args.detector_checkpoint} not "
+                  "found; using fresh init")
         detector = PoseNet2DDetector(state)
         already_h36m = True
 

@@ -169,3 +169,72 @@ def make_direct_eval_step(loss: str = "mse"):
         }
 
     return jax.jit(step)
+
+
+def make_detector_chunk_step(image_size: int = 256, donate: bool = True):
+    """2D-detector distillation step: (state, kp2d (K,B,17,2), rng) ->
+    (state, metrics). The training FRAMES are rendered on device inside the
+    step (data/synthetic.py::render_pose_frames) — only the (K,B,17,2)
+    keypoints cross the wire, the 256^2 RGB batch never exists on the host.
+    Supervision is MSE on the soft-argmax coords (the phase-5 Model_2D
+    pathway, phase5_loop/Model_2d.py:96-138); ``px_err`` reports the mean
+    euclidean error in rendered-image pixels.
+    """
+    from pose3d_tpu.data.synthetic import render_pose_frames
+
+    def step(state, kp2d, rng):
+        k = kp2d.shape[0]
+
+        def body(st, xs):
+            y, r = xs
+            frames = render_pose_frames(y, r, size=image_size)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": st.batch_stats}
+                coords, updates = st.apply_fn(
+                    variables, frames, train=True,
+                    rngs={"dropout": jax.random.fold_in(r, 1)},
+                    mutable=["batch_stats"],
+                )
+                pred = coords.reshape(y.shape)
+                return losses.mse(pred, y), (pred, updates["batch_stats"])
+
+            (l, (pred, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(st.params)
+            st = st.with_lr(st.plateau.lr)
+            st = st.apply_gradients(grads, new_bs)
+            px = jnp.mean(jnp.linalg.norm(pred - y, axis=-1)) * image_size
+            return st, (l, px)
+
+        rngs = jax.random.split(rng, k)
+        state, (loss_k, px_k) = jax.lax.scan(body, state, (kp2d, rngs))
+        return state, {
+            "loss": jnp.mean(loss_k),
+            "last_batch_loss": loss_k[-1],
+            "px_err": px_k[-1],
+        }
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_detector_eval_step(image_size: int = 256):
+    """(state, kp2d (K,B,17,2), rng) -> mean pixel error over all batches,
+    frames rendered on device with the given key (deterministic per key)."""
+    from pose3d_tpu.data.synthetic import render_pose_frames
+
+    def step(state, kp2d, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def body(carry, xs):
+            y, r = xs
+            frames = render_pose_frames(y, r, size=image_size)
+            coords = state.apply_fn(variables, frames, train=False)
+            pred = coords.reshape(y.shape)
+            return carry, jnp.mean(jnp.linalg.norm(pred - y, axis=-1))
+
+        rngs = jax.random.split(rng, kp2d.shape[0])
+        _, px = jax.lax.scan(body, None, (kp2d, rngs))
+        return jnp.mean(px) * image_size
+
+    return jax.jit(step)

@@ -71,4 +71,20 @@ rels = [float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
 e6 = max(rels)
 log(f"fused-train grad parity (max rel-of-max over leaves): {e6:.4f}")
 assert e6 < 0.15  # bf16 grads, different accumulation orders
+# 5. fused 1x1-conv + soft-argmax decode (round 4) vs the XLA composition
+from pose3d_tpu.ops.heatmap import soft_argmax_3d_nhwc
+from pose3d_tpu.ops.pallas_conv_decode import conv_soft_argmax_3d_fused
+fe = jnp.asarray(rng.random((4, 64, 64, 256)).astype(np.float32), jnp.bfloat16)
+ck = jnp.asarray((rng.standard_normal((256, 17 * 64)) * 0.05).astype(np.float32), jnp.bfloat16)
+cb = jnp.asarray((rng.standard_normal(17 * 64) * 0.1).astype(np.float32), jnp.bfloat16)
+want = np.asarray(jax.jit(lambda f, k, b: soft_argmax_3d_nhwc(
+    f.astype(jnp.float32) @ k.astype(jnp.float32) + b.astype(jnp.float32), 17, 64))(fe, ck, cb))
+got = np.asarray(jax.jit(lambda f, k, b: conv_soft_argmax_3d_fused(f, k, b, 17, 64))(fe, ck, cb))
+e7 = np.abs(got - want).max(); log(f"conv+decode fused parity: {e7:.4f}"); assert e7 < 5e-2
+gcot = jnp.asarray(rng.standard_normal((4, 51)).astype(np.float32))
+gw = jax.jit(jax.grad(lambda f: jnp.vdot(soft_argmax_3d_nhwc(
+    f.astype(jnp.float32) @ ck.astype(jnp.float32) + cb.astype(jnp.float32), 17, 64), gcot)))(fe)
+gg = jax.jit(jax.grad(lambda f: jnp.vdot(conv_soft_argmax_3d_fused(f, ck, cb, 17, 64), gcot)))(fe)
+e8 = float(jnp.abs(gg.astype(jnp.float32) - gw.astype(jnp.float32)).max())
+log(f"conv+decode fused dfeats parity: {e8:.5f}"); assert e8 < 5e-2
 log("ALL KERNEL PARITIES OK")

@@ -42,7 +42,7 @@ class DeconvHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, decode=None):
         for f in self.filters:
             x = nn.ConvTranspose(f, (4, 4), (2, 2), padding="SAME",
                                  use_bias=False, dtype=self.dtype)(x)
@@ -50,7 +50,19 @@ class DeconvHead(nn.Module):
             x = nn.relu(x)
             if self.dropout:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        conv = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)
+        if decode is None:
+            return conv(x)
+        # fused epilogue: the decode consumes the trunk features plus the
+        # conv's own weights so the (B,H,W,out_channels) logits never exist
+        # in HBM (ops/pallas_conv_decode). A 1-pixel call binds the params
+        # under the unchanged "Conv_0" name — checkpoints and torch
+        # transplants are layout-identical to the unfused head.
+        _ = conv(x[:1, :1, :1])
+        params = self.variables["params"]["Conv_0"]
+        kernel = params["kernel"][0, 0].astype(self.dtype)
+        bias = params["bias"].astype(self.dtype)
+        return decode(x, kernel, bias)
 
 
 class PoseNet3D(nn.Module):
@@ -71,6 +83,12 @@ class PoseNet3D(nn.Module):
     # ROUND2_NOTES "decode" for the measured XLA-vs-kernel train-step
     # numbers behind the default
     use_pallas_train: bool = False
+    # fuse the final 1x1 conv INTO the decode (ops/pallas_conv_decode):
+    # the (B,H,W,J*D) logits never exist in HBM in either direction —
+    # forward and backward both read the trunk features exactly once.
+    # Applies to both train and eval (coords-only path); opt-in until the
+    # on-chip ladder lands (experiments/direct_profile.py).
+    fuse_final_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,10 +98,24 @@ class PoseNet3D(nn.Module):
         feats = ResNet(self.architecture, dtype=self.dtype, name="backbone")(
             x, train=train
         )
-        logits = DeconvHead(
+        head = DeconvHead(
             out_channels=self.num_joints * self.depth, dtype=self.dtype,
             name="head",
-        )(feats, train=train)
+        )
+        if self.fuse_final_conv and not self.return_heatmap:
+            from pose3d_tpu.ops.pallas_conv_decode import (
+                conv_soft_argmax_3d_fused,
+            )
+
+            def decode(trunk, kernel, bias):
+                return conv_soft_argmax_3d_fused(
+                    trunk, kernel, bias, self.num_joints, self.depth,
+                    z_scale=self.z_scale,
+                )
+
+            coords = head(feats, train=train, decode=decode)
+            return coords, None
+        logits = head(feats, train=train)
         b, h, w, _ = logits.shape
         if not self.return_heatmap:
             if (self.use_pallas and (not train or self.use_pallas_train)

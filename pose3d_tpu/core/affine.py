@@ -130,6 +130,126 @@ def crop_image(img, center, scale, rot, output_size):
                           flags=cv2.INTER_LINEAR)
 
 
+def box_crop_affine(bbox, output_size, inv: bool = False) -> np.ndarray:
+    """2x3 affine of the bbox-variant crop family (hybrik_utils
+    ``cv_cropBox``/``cv_cropBoxInverse``, :142-193/:347-402): the box is
+    symmetrically padded to the output aspect ratio and its padded corners
+    mapped onto the patch corners. Reproduces the reference's exact corner
+    conventions (xmax/ymax decremented by 1, floor-div pad, resW-1/resH-1
+    far corner). ``output_size`` is (height, width) as in the reference;
+    ``inv`` returns the patch->image transform.
+    """
+    xmin, ymin, xmax, ymax = [float(v) for v in bbox]
+    xmax -= 1.0
+    ymax -= 1.0
+    res_h, res_w = output_size
+    len_h = max(ymax - ymin, (xmax - xmin) * res_h / res_w)
+    len_w = len_h * res_w / res_h
+    pad_h = (len_h - (ymax - ymin)) // 2
+    pad_w = (len_w - (xmax - xmin)) // 2
+
+    src = np.zeros((3, 2))
+    dst = np.zeros((3, 2))
+    src[0] = [xmin - pad_w, ymin - pad_h]
+    src[1] = [xmax + pad_w, ymax + pad_h]
+    dst[0] = [0.0, 0.0]
+    dst[1] = [res_w - 1.0, res_h - 1.0]
+    src[2] = _third_point(src[0], src[1])
+    dst[2] = _third_point(dst[0], dst[1])
+    if inv:
+        return _solve_affine(dst, src).astype(np.float32)
+    return _solve_affine(src, dst).astype(np.float32)
+
+
+def crop_box(img, bbox, output_size):
+    """``cv_cropBox`` (hybrik_utils.py:142-193): zero everything outside the
+    bbox, then warp the aspect-padded box onto an (output_h, output_w)
+    patch. ``img`` is HWC (this framework's convention; the reference is
+    CHW torch) and is not modified in place (the reference mutates it).
+    """
+    import cv2
+
+    xmin, ymin, xmax, ymax = [int(v) for v in bbox]
+    masked = np.zeros_like(img)
+    masked[max(ymin, 0):ymax, max(xmin, 0):xmax] = \
+        img[max(ymin, 0):ymax, max(xmin, 0):xmax]
+    t = box_crop_affine(bbox, output_size)
+    res_h, res_w = output_size
+    return cv2.warpAffine(masked, t, (int(res_w), int(res_h)),
+                          flags=cv2.INTER_LINEAR)
+
+
+def crop_box_rot(img, bbox, output_size, rot):
+    """``cv_cropBox_rot`` (hybrik_utils.py:196-249): centre-based crop of
+    the bbox with an in-plane rotation (no outside-box zeroing — matching
+    the reference, which skips it in the _rot variant). HWC in/out."""
+    import cv2
+
+    xmin, ymin, xmax, ymax = [float(v) for v in bbox]
+    xmax -= 1.0
+    ymax -= 1.0
+    res_h, res_w = output_size
+    rot_rad = np.pi * rot / 180.0
+    center = np.array([(xmax + xmin) / 2, (ymax + ymin) / 2])
+    src_dir = _rotate_2d([0.0, (ymax - ymin) * -0.5], rot_rad)
+    dst_dir = np.array([0.0, (res_h - 1.0) * -0.5])
+
+    src = np.zeros((3, 2))
+    dst = np.zeros((3, 2))
+    src[0] = center
+    src[1] = center + src_dir
+    dst[0] = [(res_w - 1.0) * 0.5, (res_h - 1.0) * 0.5]
+    dst[1] = dst[0] + dst_dir
+    src[2] = _third_point(src[0], src[1])
+    dst[2] = _third_point(dst[0], dst[1])
+    t = _solve_affine(src, dst).astype(np.float32)
+    return cv2.warpAffine(img, t, (int(res_w), int(res_h)),
+                          flags=cv2.INTER_LINEAR)
+
+
+def fix_box(bbox, output_size):
+    """The aspect-fix half of ``fix_cropBox`` (hybrik_utils.py:250-288):
+    symmetrically expand one side of the box to the output aspect ratio and
+    truncate to ints (the reference's ``int(x)``)."""
+    xmin, ymin, xmax, ymax = [float(v) for v in bbox]
+    input_ratio = output_size[0] / output_size[1]
+    bbox_ratio = (ymax - ymin) / (xmax - xmin)
+    if bbox_ratio > input_ratio:
+        cx = (xmax + xmin) / 2
+        w = (ymax - ymin) / input_ratio
+        xmin, xmax = cx - w / 2, cx + w / 2
+    elif bbox_ratio < input_ratio:
+        cy = (ymax + ymin) / 2
+        h = (xmax - xmin) * input_ratio
+        ymin, ymax = cy - h / 2, cy + h / 2
+    return [int(v) for v in (xmin, ymin, xmax, ymax)]
+
+
+def fix_crop_box(img, bbox, output_size):
+    """``fix_cropBox``: aspect-fix the box, then ``crop_box``. Returns
+    (patch, fixed_bbox) like the reference."""
+    fixed = fix_box(bbox, output_size)
+    return crop_box(img, fixed, output_size), fixed
+
+
+def fix_crop_box_rot(img, bbox, output_size, rot):
+    """``fix_cropBox_rot``: aspect-fix the box, then ``crop_box_rot``."""
+    fixed = fix_box(bbox, output_size)
+    return crop_box_rot(img, fixed, output_size, rot), fixed
+
+
+def crop_box_inverse(patch, bbox, img_size, output_size):
+    """``cv_cropBoxInverse`` (hybrik_utils.py:347-402): paste an
+    (output_h, output_w) patch back into a zeroed (img_h, img_w) canvas
+    through the inverse box affine. HWC in/out."""
+    import cv2
+
+    t = box_crop_affine(bbox, output_size, inv=True)
+    img_h, img_w = img_size
+    return cv2.warpAffine(patch, t, (int(img_w), int(img_h)),
+                          flags=cv2.INTER_LINEAR)
+
+
 def transform_preds(coords, center, scale, output_size):
     """Patch-space (…,2) coords -> original image coords through the inverse
     crop affine (hybrik_utils.py:1256-1260), vectorized over all joints."""

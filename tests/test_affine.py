@@ -157,3 +157,108 @@ class TestFlipFamily:
         out = np.asarray(flip_xyz_joints(xyz, PAIRS_24))
         np.testing.assert_allclose(out[1, 0], -float(xyz[2, 0]), atol=1e-6)
         np.testing.assert_allclose(out[0, 1:], np.asarray(xyz[0, 1:]), atol=1e-6)
+
+
+class TestBoxCropFamily:
+    """cv_cropBox/fix_cropBox variants (hybrik_utils.py:142-402)."""
+
+    def _reference_box_points(self, bbox, output_size):
+        """The reference's exact src/dst construction (test-local oracle,
+        independent of box_crop_affine's implementation)."""
+        xmin, ymin, xmax, ymax = [float(v) for v in bbox]
+        xmax -= 1
+        ymax -= 1
+        res_h, res_w = output_size
+        len_h = max(ymax - ymin, (xmax - xmin) * res_h / res_w)
+        len_w = len_h * res_w / res_h
+        pad = [(len_h - (ymax - ymin)) // 2, (len_w - (xmax - xmin)) // 2]
+
+        def third(a, b):
+            d = a - b
+            return b + np.array([-d[1], d[0]], np.float32)
+
+        src = np.zeros((3, 2), np.float32)
+        dst = np.zeros((3, 2), np.float32)
+        src[0] = [xmin - pad[1], ymin - pad[0]]
+        src[1] = [xmax + pad[1], ymax + pad[0]]
+        dst[1] = [res_w - 1, res_h - 1]
+        src[2] = third(src[0], src[1])
+        dst[2] = third(dst[0], dst[1])
+        return src, dst
+
+    def test_affine_matches_cv2_oracle(self):
+        cv2 = pytest.importorskip("cv2")
+        from pose3d_tpu.core.affine import box_crop_affine
+
+        for bbox, out in [((12, 30, 200, 180), (64, 48)),
+                          ((0, 0, 100, 300), (256, 256)),
+                          ((5, 7, 50, 20), (32, 96))]:
+            src, dst = self._reference_box_points(bbox, out)
+            want = cv2.getAffineTransform(src, dst)
+            got = box_crop_affine(bbox, out)
+            np.testing.assert_allclose(got, want, atol=1e-4)
+            want_inv = cv2.getAffineTransform(dst, src)
+            got_inv = box_crop_affine(bbox, out, inv=True)
+            np.testing.assert_allclose(got_inv, want_inv, atol=1e-4)
+
+    def test_crop_box_zeroes_outside(self, rng):
+        pytest.importorskip("cv2")
+        from pose3d_tpu.core.affine import box_crop_affine, crop_box
+
+        img = np.ones((120, 160, 3), np.float32)
+        bbox = (40, 30, 100, 90)  # square box
+        patch = crop_box(img, bbox, (64, 64))
+        assert patch.shape == (64, 64, 3)
+        # centre of the patch is inside the (all-ones) box
+        np.testing.assert_allclose(patch[32, 32], 1.0, atol=1e-5)
+        # a point far outside the box maps to zeroed source pixels: the
+        # box is square so padding is tiny, and patch corners ~ box corners
+        t_inv = box_crop_affine(bbox, (64, 64), inv=True)
+        corner_src = t_inv[:, :2] @ np.array([0.0, 0.0]) + t_inv[:, 2]
+        assert abs(corner_src[0] - 40) <= 2 and abs(corner_src[1] - 30) <= 2
+
+    def test_crop_then_inverse_restores_interior(self, rng):
+        pytest.importorskip("cv2")
+        from pose3d_tpu.core.affine import crop_box, crop_box_inverse
+
+        # smooth image so bilinear resampling round-trips accurately
+        yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+        img = np.stack([xx / 160, yy / 120, (xx + yy) / 280], axis=-1)
+        bbox = (40, 30, 104, 94)
+        patch = crop_box(img, bbox, (128, 128))
+        back = crop_box_inverse(patch, bbox, (120, 160), (128, 128))
+        inner = (slice(40, 84), slice(50, 94))
+        np.testing.assert_allclose(back[inner], img[inner], atol=0.02)
+
+    def test_fix_box_matches_reference_semantics(self):
+        from pose3d_tpu.core.affine import fix_box
+
+        # tall box, square output -> width expands around the centre
+        fixed = fix_box((50, 10, 70, 90), (64, 64))
+        assert fixed == [20, 10, 100, 90]
+        # wide box, square output -> height expands
+        fixed = fix_box((10, 50, 90, 70), (64, 64))
+        assert fixed == [10, 20, 90, 100]
+        # already at ratio -> unchanged (ints)
+        assert fix_box((0, 0, 64, 64), (64, 64)) == [0, 0, 64, 64]
+
+    def test_fix_crop_box_returns_patch_and_box(self, rng):
+        pytest.importorskip("cv2")
+        from pose3d_tpu.core.affine import fix_crop_box
+
+        img = rng.random((120, 160, 3)).astype(np.float32)
+        patch, fixed = fix_crop_box(img, (50, 10, 70, 90), (64, 64))
+        assert patch.shape == (64, 64, 3)
+        assert fixed == [20, 10, 100, 90]
+
+    def test_crop_box_rot_zero_centers_box(self, rng):
+        pytest.importorskip("cv2")
+        from pose3d_tpu.core.affine import crop_box_rot
+
+        yy, xx = np.mgrid[0:120, 0:160].astype(np.float32)
+        img = np.stack([xx, yy, xx * 0], axis=-1)
+        bbox = (40, 30, 104, 94)
+        patch = crop_box_rot(img, bbox, (64, 64), rot=0)
+        # patch centre pixel samples the bbox centre ((40+103)/2, (30+93)/2)
+        np.testing.assert_allclose(patch[31, 31, 0], (40 + 103) / 2, atol=1.5)
+        np.testing.assert_allclose(patch[31, 31, 1], (30 + 93) / 2, atol=1.5)

@@ -12,6 +12,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pose3d_tpu.config import DetectorConfig
 from pose3d_tpu.data.synthetic import render_pose_frames, synthetic_h36m
@@ -57,6 +58,7 @@ class TestRenderer:
 
 
 class TestDetectorTraining:
+    @pytest.mark.slow
     def test_short_training_beats_fresh_init(self, tmp_path):
         from pose3d_tpu.cli.train_detector import build_detector, train
         from pose3d_tpu.train.image_steps import make_detector_eval_step
@@ -86,6 +88,7 @@ class TestDetectorTraining:
 
 
 class TestRealDetectionPipeline:
+    @pytest.mark.slow
     def test_process_video_with_trained_posenet(self, tmp_path, rng):
         """Non-mock end-to-end: rendered video -> trained PoseNet2D ->
         save_to_json -> finite detection pixel error vs the known GT."""

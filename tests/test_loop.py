@@ -58,6 +58,8 @@ class TestLoopStep:
             state.net3d.params, new_state.net3d.params)
         assert max(jax.tree_util.tree_leaves(d3)) > 0
 
+    @pytest.mark.slow
+
     def test_triangle_flip_project_step(self, setup):
         state, lifter, projector, frames, kp2d, kp3d = setup
         step = make_loop_train_step(

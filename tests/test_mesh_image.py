@@ -14,6 +14,7 @@ produce different statistics than the single-device global-batch oracle.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pose3d_tpu.models.heads import PoseNet2D, PoseNet3D
 from pose3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -42,6 +43,7 @@ def _assert_tree_close(a, b, atol):
 
 
 class TestImageModelsUnderMesh:
+    @pytest.mark.slow
     def test_posenet3d_dp_bn_matches_global_oracle(self, devices, rng):
         """Forward/backward of one DP step on the 8-device mesh ==
         single-device full-batch oracle: loss, GRADIENTS (the all-reduce XLA
@@ -101,6 +103,8 @@ class TestImageModelsUnderMesh:
         # differ from the global mean by ~0.3 — far beyond the tolerance.
         shard_mean = frames[: B // 8].mean()
         assert abs(shard_mean - frames.mean()) > 0.1
+
+    @pytest.mark.slow
 
     def test_posenet2d_dp_bn_matches_global_oracle(self, devices, rng):
         """Same property for the 2D head (reference Model_2D, the phase-5

@@ -20,6 +20,7 @@ BN must reduce over the 2B frames across all devices.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pose3d_tpu.models.heads import PoseNet2D, PoseNet3D
 from pose3d_tpu.models.lifters import JointTransformerLifter
@@ -69,6 +70,7 @@ def _build_state(rng_seed=0):
 
 
 class TestLoopUnderMesh:
+    @pytest.mark.slow
     def test_loop_dp_matches_global_oracle(self, devices, rng):
         """Full configuration — triangle (sep) + flip + project — DP over
         the 8-device mesh vs the single-device global-batch oracle."""
@@ -121,6 +123,8 @@ class TestLoopUnderMesh:
         # plateau bookkeeping also runs sharded
         dp_state = loop_plateau_step(dp_state, dp_m["loss"])
         assert np.isfinite(float(dp_state.net2d.plateau.lr))
+
+    @pytest.mark.slow
 
     def test_loop_cycle_mode_dp_matches_oracle(self, devices, rng):
         """The cycle TriangleLoss variant (losses.py:10-62) without flip:

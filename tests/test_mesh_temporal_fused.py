@@ -41,6 +41,7 @@ def fused_state():
 
 
 class TestDPFusedTemporalStep:
+    @pytest.mark.slow
     def test_matches_single_device_global_batch(self, devices, fused_state):
         rng = np.random.default_rng(0)
         # skewed batch: per-shard statistics differ, so a broken reduction
@@ -69,6 +70,8 @@ class TestDPFusedTemporalStep:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
                 err_msg=jax.tree_util.keystr(path))
+
+    @pytest.mark.slow
 
     def test_mesh_epoch_matches_single_device(self, devices, fused_state):
         """Whole-epoch scan with the shard_map DP grads inside the body:

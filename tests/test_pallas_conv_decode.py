@@ -91,6 +91,9 @@ def test_pad_joint_gets_no_gradient_leak(rng):
     assert np.isfinite(np.asarray(gk)).all()
 
 
+@pytest.mark.slow
+
+
 def test_posenet3d_fused_route_matches_default(rng):
     """PoseNet3D(fuse_final_conv=True) shares the exact param tree with the
     default model and produces the same coords and parameter gradients."""

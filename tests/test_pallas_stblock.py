@@ -21,6 +21,7 @@ def setup():
 
 
 class TestTemporalForwardFused:
+    @pytest.mark.slow
     def test_matches_bf16_apply(self, setup):
         model, params, x = setup
         bf16 = TemporalLifter(clip_len=27, n_blocks=2, dtype=jnp.bfloat16)
@@ -44,6 +45,8 @@ class TestTemporalForwardFused:
         with pytest.raises(ValueError, match="expected"):
             temporal_forward_fused(params, x[:, :20], n_blocks=2,
                                    clip_len=27, interpret=True)
+
+    @pytest.mark.slow
 
     def test_row_padding_any_clip_count(self, setup):
         """C=3 (C*T = 81 frames, not a multiple of 32): the spatial kernel

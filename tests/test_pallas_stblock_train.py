@@ -49,6 +49,8 @@ class TestFusedTrainForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.slow
+
     def test_gradient_parity(self, small_model):
         """d(loss)/d(params) and d(loss)/d(x) of the fused path vs flax
         autodiff — the Pallas backward kernel against XLA's."""
@@ -77,6 +79,8 @@ class TestFusedTrainForward:
         np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_ref),
                                    atol=1e-5, rtol=2e-3)
         tree_allclose(gp_got, gp_ref, atol=2e-5)
+
+    @pytest.mark.slow
 
     def test_slab_matches_joint_major_kernel(self, small_model):
         """temporal_slab_train (frame-major slab, per-joint lane slices)
@@ -110,6 +114,8 @@ class TestFusedTrainForward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-3,
                 err_msg=f"arg {i}")
+
+    @pytest.mark.slow
 
     def test_spatial_rows_span_multiple_cells(self):
         """Row count > TRAIN_ROWS forces cross-cell dW accumulation; also

@@ -148,6 +148,7 @@ class TestEndToEnd:
 
 
 class TestNativeDetector:
+    @pytest.mark.slow
     def test_posenet2d_detector_end_to_end(self, synthetic_video, tmp_path):
         """The native TPU detector branch: frames -> H36M-ordered detections
         -> merged JSON with already_h36m semantics."""

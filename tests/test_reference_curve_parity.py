@@ -174,6 +174,8 @@ class TestCurveParity:
     BATCH = 64
     LR = 2.0 ** -10  # exactly representable in f32 (the plateau-lr state)
 
+    @pytest.mark.slow
+
     def test_vit_lifter_curve_parity(self, monkeypatch):
         """30 epochs of the committed phase-1 model (MyViT, train_1.py:35)
         on identical fabricated data: MPJPE(train), MPJPE(val) and the
@@ -214,6 +216,8 @@ class TestCurveParity:
         assert_curves_track(vcurve_j, vcurve_t, 1e-3, "MPJPE(val)")
         np.testing.assert_allclose(lrs_j, lrs_t, rtol=1e-6,
                                    err_msg="plateau-lr trajectories")
+
+    @pytest.mark.slow
 
     def test_martinez_curve_parity_with_batchnorm(self):
         """30 epochs of the Martinez lifter with BatchNorm ACTIVE

@@ -253,6 +253,7 @@ class TestPhase1LifterTrainStep:
 
 
 class TestPhase3DirectTrainStep:
+    @pytest.mark.slow
     def test_model3d_adam_one_step_parity(self):
         """Model_3D + Adam(lr, weight_decay=1e-8) + MSE on soft-argmax
         coords — the phase-3 step (train_3.py:30-31,77-83). One f64 batch

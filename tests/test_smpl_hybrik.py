@@ -163,6 +163,7 @@ class TestInverseKinematics:
         return jnp.stack(phis, axis=1)  # (B,23,2)
 
     @pytest.mark.parametrize("train", [False, True])
+    @pytest.mark.slow
     def test_fk_ik_fk_roundtrip_swing_only(self, model, rng, train):
         """Positions generated by swing-only FK are reproduced after zero-
         twist IK + FK — the defining HybrIK property."""
@@ -266,6 +267,8 @@ class TestHybrIKEndToEnd:
         assert j17.shape == (b, 17, 3)
         v, j, h = ik.root_centre_outputs(verts, joints, j17)
         np.testing.assert_allclose(np.asarray(j[:, 0]), 0.0, atol=1e-6)
+
+    @pytest.mark.slow
 
     def test_jit_and_grad(self, model, rng):
         b = 2

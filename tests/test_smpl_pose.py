@@ -109,6 +109,7 @@ class TestFlip:
 
 
 class TestHybrIKPoseEndToEnd:
+    @pytest.mark.slow
     def test_forward_shapes(self, assembly):
         b = 2
         x = jnp.zeros((b, 64, 64, 3))
@@ -122,6 +123,8 @@ class TestHybrIKPoseEndToEnd:
         assert out["pred_uvd_jts"].shape == (b, 87)
         for v in out.values():
             assert bool(jnp.all(jnp.isfinite(v))), "non-finite output"
+
+    @pytest.mark.slow
 
     def test_flip_ensemble_runs(self, assembly):
         b = 1
@@ -144,6 +147,7 @@ class TestHybrIKPoseEndToEnd:
 
 
 class TestHybrIKTraining:
+    @pytest.mark.slow
     def test_train_step_reduces_loss(self, assembly, rng):
         import optax
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pose3d_tpu.data import synthetic
 from pose3d_tpu.models.temporal import TemporalLifter, make_clips
@@ -50,6 +51,8 @@ class TestTemporalLifter:
         out2 = model.apply(v, x2, train=False)
         # other joints of frame 5 change
         assert float(jnp.abs(out2[0, 5, :3] - out[0, 5, :3]).max()) > 1e-4
+
+    @pytest.mark.slow
 
     def test_trains_with_generic_step(self):
         """The generic lifter train step handles (B,T,J,D) clips too."""
@@ -103,6 +106,8 @@ class TestMakeClips:
         clips = make_clips(seq, 243, stride=121)
         assert clips.shape == (3, 243, 17, 2)
         np.testing.assert_array_equal(clips[2], seq[195:438])
+
+    @pytest.mark.slow
 
     def test_lift_sequence_tail_not_zero(self, rng):
         """End-to-end: lift_sequence output for the tail frames must come

@@ -8,6 +8,7 @@ MSE, backward, AdamW, plateau-lr) -> MPJPE metric.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pose3d_tpu import losses
 from pose3d_tpu.data import synthetic
@@ -53,6 +54,8 @@ class TestTrainStep:
     def test_loss_decreases_martinez(self):
         _, losses_seen = _train(MartinezLifter(dropout=0.0), n_steps=40)
         assert losses_seen[-1] < losses_seen[0] * 0.5, losses_seen[::8]
+
+    @pytest.mark.slow
 
     def test_loss_decreases_transformer_sharded(self, devices):
         mesh = make_mesh(n_data=8)

@@ -279,46 +279,67 @@ def tpu_direct_train_throughput():
     from pose3d_tpu.train.state import create_train_state
 
     rng = np.random.default_rng(0)
-    model = PoseNet3D(return_heatmap=False, use_pallas=True,
-                      dtype=jnp.bfloat16)
-    state = create_train_state(
-        model, jax.random.key(0), jnp.zeros((DIRECT_B, 256, 256, 3)),
-        lr=1e-3,
-    )
     step = make_direct_chunk_step(donate=True)
 
-    compiled = {}
+    def measure(fuse):
+        model = PoseNet3D(return_heatmap=False, use_pallas=True,
+                          fuse_final_conv=fuse, dtype=jnp.bfloat16)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((DIRECT_B, 256, 256, 3)),
+            lr=1e-3,
+        )
+        compiled = {}
 
-    def runner(k):
-        frames = jnp.asarray(
-            rng.integers(0, 256, (k, DIRECT_B, 256, 256, 3), dtype=np.uint8))
-        kp = jnp.asarray(rng.random((k, DIRECT_B, 17, 3), np.float32) - 0.5)
-        key = jax.random.key(1)
-        compiled[k] = step.lower(state, frames, kp, key).compile()
+        def runner(k):
+            frames = jnp.asarray(rng.integers(
+                0, 256, (k, DIRECT_B, 256, 256, 3), dtype=np.uint8))
+            kp = jnp.asarray(rng.random((k, DIRECT_B, 17, 3), np.float32)
+                             - 0.5)
+            key = jax.random.key(1)
+            compiled[k] = step.lower(state, frames, kp, key).compile()
 
-        def run():
-            # fresh buffers per call so donation can't invalidate state;
-            # the copy is one constant cost per call -> cancels in two-K
-            st = jax.tree_util.tree_map(lambda x: x.copy(), state)
-            _, m = compiled[k](st, frames, kp, key)
-            return float(m["loss"])
+            def run():
+                # fresh buffers per call so donation can't invalidate
+                # state; the copy is one constant per call -> cancels
+                st = jax.tree_util.tree_map(lambda x: x.copy(), state)
+                _, m = compiled[k](st, frames, kp, key)
+                return float(m["loss"])
 
-        return run
+            return run
 
-    # best-of-5 against chip co-tenancy (VERDICT r2 item 4): the driver
-    # number should be the defensible least-contended result, with the
-    # dispersion on the record instead of hidden in one draw
-    per_step, t1, t2, samples = _two_k_best(
-        runner(DIRECT_K1), runner(DIRECT_K2), DIRECT_K1, DIRECT_K2,
-        repeats=5,
-    )
-    f1, f2 = _flops(compiled[DIRECT_K1]), _flops(compiled[DIRECT_K2])
-    fl = _per_iter_flops(f1, f2)
-    disp = [round(s * 1e3, 2) for s in samples]
-    _log(f"direct: best {per_step*1e3:.2f} ms/step "
-         f"(5 two-K repeats, ms: {disp})")
+        # best-of-5 against chip co-tenancy (VERDICT r2 item 4): the
+        # driver number should be the defensible least-contended result,
+        # with the dispersion on the record instead of hidden in one draw
+        per_step, t1, t2, samples = _two_k_best(
+            runner(DIRECT_K1), runner(DIRECT_K2), DIRECT_K1, DIRECT_K2,
+            repeats=5,
+        )
+        fl = _per_iter_flops(_flops(compiled[DIRECT_K1]),
+                             _flops(compiled[DIRECT_K2]))
+        disp = [round(s * 1e3, 2) for s in samples]
+        _log(f"direct ({'fused' if fuse else 'xla'} epilogue): best "
+             f"{per_step*1e3:.2f} ms/step (5 two-K repeats, ms: {disp})")
+        return per_step, fl, disp
+
+    per_step, fl, disp = measure(False)
+    extra = {"xla_epilogue_ms": round(per_step * 1e3, 2),
+             "step_ms_samples": disp, "epilogue": "xla"}
+    # round-4 fused 1x1-conv+decode kernel (ops/pallas_conv_decode): take
+    # it when it wins; a Mosaic reject or regression falls back, with both
+    # configurations on the record either way
+    try:
+        fused_step, fused_fl, fused_disp = measure(True)
+        extra["fused_epilogue_ms"] = round(fused_step * 1e3, 2)
+        extra["fused_step_ms_samples"] = fused_disp
+        if fused_step < per_step:
+            per_step, fl = fused_step, fused_fl or fl
+            extra["epilogue"] = "fused"
+    except Exception as e:  # noqa: BLE001 — fallback must not kill bench
+        _log(f"direct fused-epilogue attempt failed: {type(e).__name__}: "
+             f"{str(e)[:200]}")
+        extra["fused_epilogue_ms"] = None
     mfu = _mfu_fields(fl, per_step)
-    mfu["step_ms_samples"] = disp
+    mfu.update(extra)
     return DIRECT_B / per_step, mfu
 
 

@@ -104,7 +104,8 @@ def train(cfg: DirectConfig):
     # materialize the (B,17,64^3) heatmap volume only when it is supervised;
     # otherwise the head decodes straight from NHWC (no layout transpose)
     model = PoseNet3D(architecture=cfg.architecture, z_scale=cfg.z_scale,
-                      return_heatmap=cfg.heatmap_loss_weight > 0, dtype=dtype)
+                      return_heatmap=cfg.heatmap_loss_weight > 0,
+                      fuse_final_conv=cfg.fuse_final_conv, dtype=dtype)
     frames, kp3d, stats3d = load_image_split(cfg, is_train=True)
     vframes, vkp3d, _ = load_image_split(cfg, is_train=False)
 
@@ -196,7 +197,7 @@ def infer(cfg: DirectConfig):
     """Eval-only path (train_3.py:173-232 ``infer``): restore + validate."""
     dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     model = PoseNet3D(architecture=cfg.architecture, z_scale=cfg.z_scale,
-                      dtype=dtype)
+                      fuse_final_conv=cfg.fuse_final_conv, dtype=dtype)
     vframes, vkp3d, stats3d = load_image_split(cfg, is_train=False)
     mesh = make_mesh()
     state = create_train_state(

@@ -68,6 +68,9 @@ class DirectConfig:
     video: str = ""                  # phase4: video name under pipeline_root
     pipeline_root: str = "./videos"  # phase4: phase-2 artifact root
     heatmap_loss_weight: float = 0.0 # optional heatmap MSE supervision
+    # fused 1x1-conv+decode epilogue (ops/pallas_conv_decode): the logits
+    # volume never exists in HBM; coords-only (ignored with heatmap loss)
+    fuse_final_conv: bool = False
     chunk_steps: int = 8             # optimizer steps per dispatch (lax.scan)
     loss: str = "mse"                # MSE + Adam wd 1e-8 (train_3.py:30)
     # None resolves per source to the reference phase's optimizer ctor:

@@ -87,7 +87,9 @@ class PoseNet3D(nn.Module):
     # the (B,H,W,J*D) logits never exist in HBM in either direction —
     # forward and backward both read the trunk features exactly once.
     # Applies to both train and eval (coords-only path); opt-in until the
-    # on-chip ladder lands (experiments/direct_profile.py).
+    # on-chip ladder lands (experiments/direct_profile.py). Like every
+    # pallas_call it is NOT partitionable by GSPMD — use it single-chip or
+    # inside a shard_map DP step, not under a jit-with-shardings mesh.
     fuse_final_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 

@@ -84,8 +84,9 @@ def _slab(feats, w_ref, b_ref, p_idx):
         feats, wp, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return out + b_ref[0, p_idx * 128:(p_idx + 1) * 128][None, :].astype(
-        jnp.float32)
+    # keep the bias slice 2-D ((1, 128)) — Mosaic lowering rejects 1-D
+    # vector intermediates on real TPU
+    return out + b_ref[:, p_idx * 128:(p_idx + 1) * 128].astype(jnp.float32)
 
 
 def _fwd_kernel(f_ref, w_ref, b_ref, out_ref, *, h, w, d, npads):
@@ -155,8 +156,8 @@ def _bwd_kernel(f_ref, w_ref, b_ref, ge_ref, df_ref, dw_ref, db_ref,
             feats, dslab, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dw_ref.dtype)
-        db_ref[0, pi * 128:(pi + 1) * 128] += jnp.sum(
-            dslab, axis=0).astype(db_ref.dtype)
+        db_ref[:, pi * 128:(pi + 1) * 128] += jnp.sum(
+            dslab, axis=0, keepdims=True).astype(db_ref.dtype)
     df_ref[0] = dfeats.reshape(h, w, c).astype(df_ref.dtype)
 
 

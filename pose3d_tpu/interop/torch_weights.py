@@ -208,3 +208,165 @@ def posenet2d_from_torch(flax_variables, sd):
     """``Model_2D`` state dict -> PoseNet2D variables (same structure as
     Model_3D with depth_dim=1, Model_2d.py:13-138)."""
     return posenet3d_from_torch(flax_variables, sd)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variables -> reference-format torch state dicts
+# (numpy-valued; `torch.save({'model': {k: torch.from_numpy(v), ...}})`-ready).
+# Makes checkpoint interop bidirectional so models trained here can be
+# loaded by the reference trainers (train_1.py:43-46, train_3.py:35-38).
+# ---------------------------------------------------------------------------
+
+
+def _dense_out(params, prefix, sd):
+    sd[f"{prefix}.weight"] = _np(params["kernel"]).T
+    if "bias" in params:
+        sd[f"{prefix}.bias"] = _np(params["bias"])
+
+
+def _scale_bias_out(params, prefix, sd):
+    sd[f"{prefix}.weight"] = _np(params["scale"])
+    sd[f"{prefix}.bias"] = _np(params["bias"])
+
+
+def _bn_stats_out(stats, prefix, sd):
+    sd[f"{prefix}.running_mean"] = _np(stats["mean"])
+    sd[f"{prefix}.running_var"] = _np(stats["var"])
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _conv_out(params, prefix, sd):
+    sd[f"{prefix}.weight"] = _np(params["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in params:
+        sd[f"{prefix}.bias"] = _np(params["bias"])
+
+
+def _deconv_out(params, prefix, sd):
+    # inverse of _deconv: (kH, kW, I, O) -> (I, O, kH, kW), then un-flip
+    w = _np(params["kernel"]).transpose(2, 3, 0, 1)
+    sd[f"{prefix}.weight"] = w[:, :, ::-1, ::-1].copy()
+
+
+def martinez_to_torch(variables, num_stages: int = 2):
+    """MartinezLifter variables -> ``LinearModel`` state dict."""
+    p, s = variables["params"], variables["batch_stats"]
+    sd = {}
+    _dense_out(p["Dense_0"], "w1", sd)
+    _scale_bias_out(p["BatchNorm_0"], "batch_norm1", sd)
+    _bn_stats_out(s["BatchNorm_0"], "batch_norm1", sd)
+    _dense_out(p["Dense_1"], "w2", sd)
+    for i in range(num_stages):
+        bp, bs = p[f"MartinezBlock_{i}"], s[f"MartinezBlock_{i}"]
+        t = f"linear_stages.{i}"
+        _dense_out(bp["Dense_0"], f"{t}.w1", sd)
+        _scale_bias_out(bp["BatchNorm_0"], f"{t}.batch_norm1", sd)
+        _bn_stats_out(bs["BatchNorm_0"], f"{t}.batch_norm1", sd)
+        _dense_out(bp["Dense_1"], f"{t}.w2", sd)
+        _scale_bias_out(bp["BatchNorm_1"], f"{t}.batch_norm2", sd)
+        _bn_stats_out(bs["BatchNorm_1"], f"{t}.batch_norm2", sd)
+    return sd
+
+
+def ae_to_torch(variables):
+    """AELifter variables -> ``AE`` state dict (active encoder2/decoder2)."""
+    p, s = variables["params"], variables["batch_stats"]
+    sd = {}
+    torch_layers = [("encoder2.1", "encoder2.2"), ("encoder2.5", "encoder2.6"),
+                    ("decoder2.0", "decoder2.1")]
+    for i, (lin, bn) in enumerate(torch_layers):
+        _dense_out(p[f"Dense_{i}"], lin, sd)
+        _scale_bias_out(p[f"BatchNorm_{i}"], bn, sd)
+        _bn_stats_out(s[f"BatchNorm_{i}"], bn, sd)
+    _dense_out(p["Dense_3"], "decoder2.4", sd)
+    return sd
+
+
+def vit_lifter_to_torch(variables, n_blocks: int = 2):
+    """JointTransformerLifter variables -> ``MyViT`` state dict (the fixed
+    sinusoidal PE is a non-trainable buffer the reference recreates)."""
+    p = variables["params"]
+    sd = {}
+    _dense_out(p["Dense_0"], "linear_mapper", sd)
+    _dense_out(p["Dense_1"], "mlp.0", sd)
+    _dense_out(p["Dense_2"], "mlp.2", sd)
+    for i in range(n_blocks):
+        bp = p[f"TransformerBlock_{i}"]
+        b = f"blocks.{i}"
+        _scale_bias_out(bp["LayerNorm_0"], f"{b}.norm1", sd)
+        _scale_bias_out(bp["JointAttention_0"]["LayerNorm_0"],
+                        f"{b}.mhsa.norm", sd)
+        _dense_out(bp["JointAttention_0"]["Dense_0"], f"{b}.mhsa.to_qkv", sd)
+        _dense_out(bp["JointAttention_0"]["Dense_1"], f"{b}.mhsa.to_out", sd)
+        _scale_bias_out(bp["LayerNorm_1"], f"{b}.norm2", sd)
+        _dense_out(bp["Dense_0"], f"{b}.mlp.0", sd)
+        _dense_out(bp["Dense_1"], f"{b}.mlp.2", sd)
+    return sd
+
+
+def projection_to_torch(variables):
+    """ProjectionMLP variables -> ``Projection`` state dict."""
+    p, s = variables["params"], variables["batch_stats"]
+    sd = {}
+    for i, (lin, bn) in enumerate([("mlp.1", "mlp.2"), ("mlp.5", "mlp.6"),
+                                   ("mlp.9", "mlp.10")]):
+        _dense_out(p[f"Dense_{i}"], lin, sd)
+        _scale_bias_out(p[f"BatchNorm_{i}"], bn, sd)
+        _bn_stats_out(s[f"BatchNorm_{i}"], bn, sd)
+    _dense_out(p["Dense_3"], "mlp.13", sd)
+    return sd
+
+
+def resnet_to_torch(variables, prefix: str = ""):
+    """flax ResNet variables -> reference/torchvision-format state dict."""
+    p, s = variables["params"], variables["batch_stats"]
+    sd = {}
+    sd[f"{prefix}conv1.weight"] = _np(p["stem_conv"]["kernel"]) \
+        .transpose(3, 2, 0, 1)
+    _scale_bias_out(p["stem_bn"], f"{prefix}bn1", sd)
+    _bn_stats_out(s["stem_bn"], f"{prefix}bn1", sd)
+    stage_map = {"stage1": "layer1", "stage2": "layer2",
+                 "stage3": "layer3", "stage4": "layer4"}
+    for block_name in sorted(k for k in p if "_block" in k):
+        stage, idx = block_name.split("_block")
+        tprefix = f"{prefix}{stage_map[stage]}.{idx}"
+        bp, bs = p[block_name], s[block_name]
+        convs = sorted(k for k in bp if k.startswith("Conv_"))
+        # BasicBlock leads with a 3x3; Bottleneck with a 1x1. The trailing
+        # conv is the downsample iff there is one more conv than the block
+        # body (2 for Basic, 3 for Bottleneck).
+        basic = bp["Conv_0"]["kernel"].shape[0] == 3
+        body = 2 if basic else 3
+        for i in range(body):
+            _conv_out(bp[f"Conv_{i}"], f"{tprefix}.conv{i + 1}", sd)
+            _scale_bias_out(bp[f"BatchNorm_{i}"], f"{tprefix}.bn{i + 1}", sd)
+            _bn_stats_out(bs[f"BatchNorm_{i}"], f"{tprefix}.bn{i + 1}", sd)
+        if len(convs) > body:
+            _conv_out(bp[f"Conv_{body}"], f"{tprefix}.downsample.0", sd)
+            _scale_bias_out(bp[f"BatchNorm_{body}"],
+                            f"{tprefix}.downsample.1", sd)
+            _bn_stats_out(bs[f"BatchNorm_{body}"],
+                          f"{tprefix}.downsample.1", sd)
+    return sd
+
+
+def posenet3d_to_torch(variables):
+    """PoseNet3D variables -> ``Model_3D`` state dict (backbone under
+    ``preact.``, deconv stack at slots 0/3/6, BNs at 1/4/7, 1x1 final)."""
+    sd = resnet_to_torch(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]},
+        prefix="preact.",
+    )
+    hp = variables["params"]["head"]
+    hs = variables["batch_stats"]["head"]
+    for i, slot in enumerate((0, 3, 6)):
+        _deconv_out(hp[f"ConvTranspose_{i}"], f"deconv_layers.{slot}", sd)
+        _scale_bias_out(hp[f"BatchNorm_{i}"], f"deconv_layers.{slot + 1}", sd)
+        _bn_stats_out(hs[f"BatchNorm_{i}"], f"deconv_layers.{slot + 1}", sd)
+    _conv_out(hp["Conv_0"], "final_layer", sd)
+    return sd
+
+
+def posenet2d_to_torch(variables):
+    """PoseNet2D variables -> ``Model_2D`` state dict."""
+    return posenet3d_to_torch(variables)

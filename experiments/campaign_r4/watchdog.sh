@@ -47,6 +47,9 @@ run_step rows_ladder 1800
 run_step direct_profile 2400
 run_step serving_check 900
 run_step e2e_train_check 1200
+echo "$(date -u +%FT%TZ) === end_to_end example ===" >> "$LOG"
+timeout 2400 python examples/end_to_end.py > "$DIR/end_to_end.log" 2>&1
+echo "$(date -u +%FT%TZ) end_to_end rc=$?" >> "$LOG"
 echo "$(date -u +%FT%TZ) === bench.py ===" >> "$LOG"
 timeout 2400 python bench.py > "$DIR/bench.stdout.json" 2> "$DIR/bench.stderr.log"
 echo "$(date -u +%FT%TZ) bench rc=$?" >> "$LOG"

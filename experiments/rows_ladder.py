@@ -13,6 +13,9 @@ Module constants are monkeypatched per point; the inner jit caches are
 cleared so the new constant actually retraces.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/rows_ladder.py
+Optional argv: section numbers to run, e.g. `rows_ladder.py 3` or `1 3`.
+A config whose compile fails (e.g. a VMEM-OOM reject) is logged and
+skipped — one bad point must not kill the later sections.
 """
 
 from __future__ import annotations
@@ -27,6 +30,11 @@ K1, K2 = 8, 24
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
+
+
+def want(section):
+    picks = [a for a in sys.argv[1:] if a.isdigit()]
+    return not picks or str(section) in picks
 
 
 def two_k_scan(make_chain, *args):
@@ -77,14 +85,20 @@ def main():
             return xk, s[-1]
         return f
 
-    for rows in (272, 544, 1088):
-        pk.ROWS = rows
+    if want(1):
+        for rows in (272, 544, 1088):
+            pk.ROWS = rows
+            pk._trunk.clear_cache()
+            try:
+                t = two_k_scan(lifter_chain, params, x)
+            except Exception as e:
+                log(f"lifter B={B} ROWS={rows:4d}: FAILED "
+                    f"({type(e).__name__}: {str(e)[:120]})")
+                continue
+            log(f"lifter B={B} ROWS={rows:4d}: {t*1e3:6.2f} ms "
+                f"({B/t:,.0f} frames/s)")
+        pk.ROWS = 272
         pk._trunk.clear_cache()
-        t = two_k_scan(lifter_chain, params, x)
-        log(f"lifter B={B} ROWS={rows:4d}: {t*1e3:6.2f} ms "
-            f"({B/t:,.0f} frames/s)")
-    pk.ROWS = 272
-    pk._trunk.clear_cache()
 
     # ---- 2. temporal serving forward
     from pose3d_tpu.models.temporal import TemporalLifter
@@ -106,15 +120,21 @@ def main():
             return xk, s[-1]
         return f
 
-    for rows in (544, 1088):
-        sb.ROWS = rows
+    if want(2):
+        for rows in (544, 1088):
+            sb.ROWS = rows
+            sb.spatial_block_fused.clear_cache()
+            sb.temporal_slab_fused.clear_cache()
+            try:
+                t = two_k_scan(serve_chain, tp, xc)
+            except Exception as e:
+                log(f"serving C={C} spatial ROWS={rows:4d}: FAILED "
+                    f"({type(e).__name__}: {str(e)[:120]})")
+                continue
+            log(f"serving C={C} spatial ROWS={rows:4d}: {t*1e3:6.2f} ms "
+                f"({C*243/t:,.0f} frames/s)")
+        sb.ROWS = 544
         sb.spatial_block_fused.clear_cache()
-        sb.temporal_slab_fused.clear_cache()
-        t = two_k_scan(serve_chain, tp, xc)
-        log(f"serving C={C} spatial ROWS={rows:4d}: {t*1e3:6.2f} ms "
-            f"({C*243/t:,.0f} frames/s)")
-    sb.ROWS = 544
-    sb.spatial_block_fused.clear_cache()
 
     # ---- 3. temporal train step
     from pose3d_tpu.ops import pallas_stblock_train as st
@@ -136,10 +156,17 @@ def main():
             return epoch(s, a[:k], b[:k], kk)
         return jax.jit(f)
 
+    if not want(3):
+        return
     for rows in (272, 544):
         st.TRAIN_ROWS = rows
-        c1 = step_chain(K1).lower(state, y1, y2, key).compile()
-        c2 = step_chain(K2).lower(state, y1, y2, key).compile()
+        try:
+            c1 = step_chain(K1).lower(state, y1, y2, key).compile()
+            c2 = step_chain(K2).lower(state, y1, y2, key).compile()
+        except Exception as e:
+            log(f"train B={Bt} TRAIN_ROWS={rows:4d}: FAILED "
+                f"({type(e).__name__}: {str(e)[:120]})")
+            continue
 
         def run(c):
             _, mtr = c(state, y1, y2, key)

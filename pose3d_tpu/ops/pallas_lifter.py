@@ -52,14 +52,13 @@ DIM = 256
 HEADS = 4
 DIM_HEAD = DIM // HEADS
 MLP = 4 * DIM
-# rows per grid cell: 16 frames x 17 tokens (multiple of the bf16 sublane
-# tile 16); attention packs all 16 frames (272 rows) in one masked matmul.
-# Measured ladder at B=8192 (ROUND3_NOTES): 136 -> 6.87 ms, 272 -> 6.29,
-# 544 -> 6.63 — the packed-score waste (VPU exp on the (ROWS, ROWS) f32
-# tile) scales with ROWS while the dense matmuls stop improving past
-# M=272, so 272 is the knee. ROWS=1088 exceeds the 16MB scoped-VMEM
-# budget even with a hidden-chunked MLP (20.4M measured).
-ROWS = 272
+# rows per grid cell: 64 frames x 17 tokens (multiple of the bf16 sublane
+# tile 16). With frame-chunked attention (ATTN_CHUNK below) the score
+# tile is (ROWS, ATTN_CHUNK), not (ROWS, ROWS), so VMEM no longer grows
+# quadratically with ROWS and larger grid cells amortize weight reloads.
+# On-chip ladder at B=8192 (campaign_r4/rows_ladder.log, v5e):
+# 272 -> 6.04 ms, 544 -> 5.67, 1088 -> 5.46 (1.50M frames/s).
+ROWS = 1088
 # frame-aligned attention-chunk width for the packed per-frame scores
 # (see ops/pallas_attention.frame_chunked_attention)
 ATTN_CHUNK = 136

@@ -62,8 +62,14 @@ def _pair_softmax(slab, d):
 
     Returns (p, left_v, lane_v, inv_l, inv_r): un-normalized exp, the
     left-half lane mask, the lane iota, and the two normalizers.
+
+    The masking sentinel must be strictly below ANY possible logit —
+    including the -1e30 pad bias — or the per-half max picks the sentinel
+    instead of the true max, every exp in that half underflows to 0, and
+    the normalizer turns into inf (0 * inf = NaN in the backward). f32 min
+    guarantees the sentinel never wins.
     """
-    neg = jnp.float32(-1e30)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
     lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * d), 1)
     left_v = lane_v < d
     mx = jnp.max(slab, axis=0, keepdims=True)
@@ -162,12 +168,18 @@ def _bwd_kernel(f_ref, w_ref, b_ref, ge_ref, df_ref, dw_ref, db_ref,
 
 
 def _pad_wb(kernel, bias, npads):
-    """Zero-pad weight columns / -1e30-pad bias lanes to npads*128."""
+    """Zero-pad weight columns / -1e30-pad bias lanes to npads*128.
+
+    The padded bias stays f32: rounding the -1e30 pad through a bf16 bias
+    dtype would shift it to -1.0047e30, desynchronizing it from the exact
+    f32 value the kernel's softmax masking reasons about (the round-4
+    on-chip NaN). The kernel consumes the bias in f32 anyway.
+    """
     c, oc = kernel.shape
     pad = npads * 128 - oc
     w_pad = jnp.pad(kernel, ((0, 0), (0, pad)))
     b_pad = jnp.pad(bias.astype(jnp.float32), (0, pad),
-                    constant_values=-1e30)[None, :].astype(bias.dtype)
+                    constant_values=-1e30)[None, :]
     return w_pad, b_pad
 
 

@@ -74,6 +74,34 @@ def test_gradient_parity(rng, j):
             err_msg=f"{name} mismatch (j={j})")
 
 
+def test_gradient_finite_bf16(rng):
+    """Round-4 on-chip regression: with a bf16 bias the -1e30 pad used to
+    round to -1.0047e30, below the f32 masking sentinel, making every pad
+    exp underflow to 0 -> inf normalizer -> NaN dfeats (forward unaffected
+    because the pad joint is sliced away). J=17 puts the pad in the last
+    slab's right half, exactly the failing configuration."""
+    b, h, w, c, j, d = 2, 8, 8, 128, 17, 64
+    feats, kernel, bias = _setup(rng, b, h, w, c, j, d, jnp.bfloat16)
+    cot = jnp.asarray(rng.standard_normal((b, j * 3)), jnp.float32)
+
+    def fused_loss(f, k, bb):
+        out = conv_soft_argmax_3d_fused(f, k, bb, num_joints=j, depth=d,
+                                        interpret=True)
+        return jnp.vdot(out, cot)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2))(feats, kernel, bias)
+    go = jax.grad(
+        lambda f, k, bb: jnp.vdot(_oracle(f, k, bb, j, d), cot),
+        argnums=(0, 1, 2))(feats, kernel, bias)
+    for got, want, name in zip(gf, go, ("dfeats", "dkernel", "dbias")):
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        assert np.isfinite(got).all(), f"{name} has non-finite entries"
+        scale = max(float(np.abs(want).max()), 1e-6)
+        np.testing.assert_allclose(got, want, atol=2e-2 * scale,
+                                   err_msg=f"{name} mismatch (bf16)")
+
+
 def test_pad_joint_gets_no_gradient_leak(rng):
     """J=3 leaves a pad half in the second slab: its weight columns must
     receive exactly zero gradient (the pad cotangent lanes are zero)."""

@@ -90,26 +90,30 @@ def _two_k_best(run1, run2, k1, k2, repeats=1):
     """Repeated two-K measurement: best-of-N per-iteration time + samples.
 
     The tunneled donor chip is co-tenanted — the SAME executable has
-    measured 27..60 ms/step across runs (ROUND2_NOTES). The minimum over
-    independent repeats is the least-contended estimate of the program's
-    own cost; the full sample list is reported so the dispersion is
-    visible rather than hidden in a single draw.
+    measured 27..60 ms/step across runs (ROUND2_NOTES). Each chain is
+    best-of-N independently and the difference of the two minima is the
+    per-iteration estimate: a contention spike in ONE K1 trial then can't
+    drag the estimate below truth the way min-over-per-trial-differences
+    could (that estimator picked whichever trial flattered the delta most
+    — the round-4 ladder even produced a negative "time" that way). The
+    per-trial sample list is still reported so dispersion stays visible.
     """
     run1()
     run2()
-    samples, last1, last2 = [], 0.0, 0.0
+    samples, best1, best2 = [], float("inf"), float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         run1()
-        last1 = time.perf_counter() - t0
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         run2()
-        last2 = time.perf_counter() - t0
-        per = (last2 - last1) / (k2 - k1)
-        if per <= 0:  # timing noise swamped the delta; raw K2 upper bound
-            per = last2 / k2
-        samples.append(per)
-    return min(samples), last1, last2, samples
+        t2 = time.perf_counter() - t0
+        best1, best2 = min(best1, t1), min(best2, t2)
+        samples.append((t2 - t1) / (k2 - k1))
+    per = (best2 - best1) / (k2 - k1)
+    if per <= 0:  # timing noise swamped the delta; raw K2 upper bound
+        per = best2 / k2
+    return per, best1, best2, samples
 
 
 # --------------------------------------------------------------------------

@@ -46,12 +46,15 @@ def two_k_scan(make_chain, *args):
         return float(out if not isinstance(out, tuple) else out[-1])
 
     run(c1); run(c2)
-    best = np.inf
+    # best-of-N per chain, THEN difference — min over per-trial differences
+    # goes negative when a contention spike hits the K1 run of one trial
+    # (produced a -556 ms "time" in the round-4 ladder)
+    b1 = b2 = np.inf
     for _ in range(3):
-        t0 = time.perf_counter(); run(c1); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(c2); t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (K2 - K1))
-    return best
+        t0 = time.perf_counter(); run(c1); b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(c2); b2 = min(b2, time.perf_counter() - t0)
+    per = (b2 - b1) / (K2 - K1)
+    return per if per > 0 else b2 / K2
 
 
 def main():
@@ -173,11 +176,13 @@ def main():
             return float(mtr["loss"])
 
         run(c1); run(c2)
-        best = np.inf
+        b1 = b2 = np.inf
         for _ in range(3):
-            t0 = time.perf_counter(); run(c1); t1 = time.perf_counter() - t0
-            t0 = time.perf_counter(); run(c2); t2 = time.perf_counter() - t0
-            best = min(best, (t2 - t1) / (K2 - K1))
+            t0 = time.perf_counter(); run(c1); b1 = min(b1, time.perf_counter() - t0)
+            t0 = time.perf_counter(); run(c2); b2 = min(b2, time.perf_counter() - t0)
+        best = (b2 - b1) / (K2 - K1)
+        if best <= 0:
+            best = b2 / K2
         log(f"train B={Bt} TRAIN_ROWS={rows:4d}: {best*1e3:6.2f} ms "
             f"({Bt*243/best:,.0f} frames/s)")
     st.TRAIN_ROWS = 272

@@ -74,6 +74,14 @@ def block_diag_mask(rows: int, seq: int):
 SCORE_CLAMP = 80.0  # overflow guard replacing the softmax row-max (see below)
 
 
+def score_exp(s):
+    """Clamped softmax numerator exp(min(s, SCORE_CLAMP)) on an f32 score
+    tile — one named seam shared by every kernel's fwd/bwd so ablation
+    probes (experiments/train_kernel_ablation.py) can patch the
+    transcendental out and measure exactly what it costs."""
+    return jnp.exp(jnp.minimum(s, SCORE_CLAMP))
+
+
 def masked_heads_attention(qkv, mask, heads, dh):
     """Shared kernel-body helper: multi-head attention over packed rows.
 
@@ -109,7 +117,7 @@ def masked_heads_attention(qkv, mask, heads, dh):
         # entries exact. The normalization divide is folded into the
         # (rows, dh) attention output instead of the (rows, rows)
         # probability tile.
-        e = jnp.exp(jnp.minimum(s, SCORE_CLAMP))
+        e = score_exp(s)
         r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         av = jax.lax.dot_general(
             e.astype(v.dtype), v, (((1,), (0,)), ((), ())),

@@ -197,6 +197,10 @@ def spatial_block_fused(x_flat, weights, *, interpret=False):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((ROWS, DIM), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        # the default 16M scoped-VMEM cap rejects ROWS=1088 (needs ~20M);
+        # v5e has 128M physical — let the ladder actually test wide cells
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x_flat, *weights)
     return out[:n] if pad else out

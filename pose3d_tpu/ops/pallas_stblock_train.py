@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pose3d_tpu.ops.pallas_attention import SCORE_CLAMP, block_diag_mask
+from pose3d_tpu.ops.pallas_attention import block_diag_mask, score_exp
 from pose3d_tpu.ops.pallas_lifter import _erf, _gelu
 from pose3d_tpu.ops.pallas_stblock import (
     DIM,
@@ -195,7 +195,7 @@ def _attention_bwd(qkv, datt, seq, dt):
             s = _dot(q, k, tb=True) * scale
             if mask is not None:
                 s = jnp.where(mask, s, -jnp.inf)
-            e = jnp.exp(jnp.minimum(s, SCORE_CLAMP))  # f32 (C, C)
+            e = score_exp(s)  # f32 (C, C)
             r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
             e_dt = e.astype(dt)
             do = datt_c[:, h * DIM_HEAD:(h + 1) * DIM_HEAD] \

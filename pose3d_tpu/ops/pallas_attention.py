@@ -109,9 +109,12 @@ def masked_heads_attention(qkv, mask, heads, dh):
         # op in these kernels (measured: ~1/3 of the whole train-backward,
         # ROUND3_NOTES). A constant clamp at SCORE_CLAMP=80 is
         # mathematically IDENTICAL while every score is < 80 (trained nets
-        # sit ~20; exp(80)=5.5e34 keeps e in bf16 range and every f32
-        # accumulation over <=544 row terms under 3.4e38, including the
-        # unnormalized backward products in ops/pallas_stblock_train); a
+        # sit ~20; exp(80)=5.5e34 keeps e in bf16 range, and the widest
+        # f32 row-sum any current kernel takes over these terms —
+        # ATTN_CHUNK=136 in the lifter cells, TRAIN_ROWS=272 in the
+        # stblock train kernels, 243 in seq_attention — stays well under
+        # f32 max 3.4e38, including the unnormalized backward products in
+        # ops/pallas_stblock_train); a
         # net whose scores exceed 80 has already diverged, and still gets
         # finite (saturated-uniform) outputs. exp(-inf)=0 keeps masked
         # entries exact. The normalization divide is folded into the

@@ -17,10 +17,11 @@ This kernel removes both:
   feature dims 256/768/1024 — perfectly lane-tiled, zero padding.
 - Both transformer blocks run inside ONE pallas_call; activations never
   leave VMEM between the embed matmul and the output head.
-- Attention packs G=32 frames per head into a single (544, 64) x (64, 544)
-  MXU matmul; the block-diagonal mask (row//17 == col//17) makes the row
-  softmax exactly the per-frame softmax. ~G x FLOP waste on an op that is
-  <1% of model FLOPs buys full MXU utilization and no HBM scores.
+- Attention is frame-chunked: the ROWS-row (64-frame) cell computes its
+  per-frame scores in 8-frame (ATTN_CHUNK=136)-wide tiles; the
+  block-diagonal mask (row//17 == col//17) makes each tile's row softmax
+  exactly the per-frame softmax, so the packing is exact while the score
+  matmuls stay (136, 136) instead of (ROWS, ROWS). No HBM scores.
 - Weights enter as kernel operands with a CONSTANT index_map, so Mosaic
   fetches them once and keeps them resident across the whole grid.
 
@@ -110,9 +111,10 @@ def _packed_attention(qkv, mask):
     """qkv (ROWS, 768) bf16 -> attention output (ROWS, 256) bf16.
 
     Frame-aligned chunked per-frame attention (exact): the dh=64
-    score-matmul FLOPs scale with the packed width, so the 16-frame cell
-    computes its scores in 8-frame (136, 136) tiles. The softmax math
-    lives in the shared ops/pallas_attention helpers.
+    score-matmul FLOPs scale with the packed width, so the ROWS-row
+    (ROWS // N_JOINTS frames) cell computes its scores in
+    (ATTN_CHUNK, ATTN_CHUNK) = 8-frame tiles. The softmax math lives in
+    the shared ops/pallas_attention helpers.
     """
     del mask  # the chunked helper builds its own per-chunk masks
     from pose3d_tpu.ops.pallas_attention import frame_chunked_attention

@@ -22,6 +22,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def fused_vit_buckets_ok(buckets, n_shards: int = 1) -> bool:
+    """True iff every per-shard bucket tiles the fused ViT kernel's frame
+    cell (``pallas_lifter.ROWS // N_JOINTS`` frames per pallas grid cell) —
+    ``lifter_forward_fused`` raises ValueError on any other batch size, so
+    the serving gate must route such configs to the XLA apply instead
+    (ADVICE round 4: the gate tracks the kernel constant, tested in
+    tests/test_serving.py::test_fused_gate_matches_kernel_contract)."""
+    from pose3d_tpu.ops import pallas_lifter as _pk
+
+    frames_per_cell = _pk.ROWS // _pk.N_JOINTS
+    return all((b // n_shards) % frames_per_cell == 0 for b in buckets)
+
+
 class LifterService:
     """Wraps a trained lifter for padded, bucketed batch inference."""
 
@@ -87,8 +100,9 @@ class LifterService:
                 and model.out_dim == 3 and model.hidden == 256
                 and model.n_blocks == 2 and model.heads == 4
                 and not model.class_token
-                # 32-frame kernel tile, per data-axis shard
-                and all((b // n_shards) % 32 == 0 for b in self.buckets)
+                # every per-shard bucket must tile the kernel's frame cell
+                # or lifter_forward_fused raises at warmup
+                and fused_vit_buckets_ok(self.buckets, n_shards)
                 and jax.default_backend() == "tpu"):
             # whole-trunk VMEM megakernel: 2.5x the XLA apply at B=8192
             # (ROUND2_NOTES)

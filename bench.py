@@ -30,10 +30,26 @@ Methodology (important on this tunneled-TPU environment):
   materializing a scalar to host.
 - Two scan lengths K1 < K2 are timed; per-iteration time is
   (t2 - t1) / (K2 - K1): tunnel round-trip and constant overhead cancel.
+- Estimator (round 5): MEDIAN over repeats, computed as
+  (median(t2 trials) - median(t1 trials)) / (K2 - K1). The donor chip is
+  co-tenanted with one-sided contention spikes; best-of-N measured the
+  noise floor (and per-trial differences even went negative when a spike
+  hit one K1 trial — BENCH_r04's -1124 ms sample). Medians of each chain
+  separately are robust unless >half the trials of a chain are spiked;
+  the per-trial deltas are still reported as the dispersion record.
 - FLOPs come from XLA's own cost model (compiled.cost_analysis()); the cost
   model counts a scan body once regardless of trip count, so the body count
   IS the per-iteration figure. MFU is reported against the v5e bf16 MXU
   peak.
+
+Driver-proofing (round 5, VERDICT r4 item 1): workloads run in scoreboard
+order (lifting -> direct -> temporal train -> temporal infer -> flip ->
+e2e), a CUMULATIVE headline JSON line is printed after EVERY workload (a
+timeout kill leaves the latest complete line in the tail — the last JSON
+line on stdout is always the freshest full record), and the whole run sits
+under an internal time budget (BENCH_BUDGET_S, default 840 s): workloads
+that would overrun are skipped with a marker instead of eating the
+driver's timeout.
 """
 
 from __future__ import annotations
@@ -80,40 +96,45 @@ def _mfu_fields(flops_per_iter, per_iter_s):
             "mfu_vs_bf16_peak": round(tf * 1e12 / V5E_BF16_PEAK, 4)}
 
 
-def _two_k(run1, run2, k1, k2):
-    """Compile+warm both, then time; returns seconds per iteration."""
-    per, t1, t2, _ = _two_k_best(run1, run2, k1, k2, repeats=1)
+def _two_k(run1, run2, k1, k2, repeats=3):
+    """Compile+warm both, then time; returns (s/iter, t1_med, t2_med)."""
+    per, t1, t2, _, _ = _two_k_median(run1, run2, k1, k2, repeats=repeats)
     return per, t1, t2
 
 
-def _two_k_best(run1, run2, k1, k2, repeats=1):
-    """Repeated two-K measurement: best-of-N per-iteration time + samples.
+def _two_k_median(run1, run2, k1, k2, repeats=5):
+    """Repeated two-K measurement: MEDIAN per-iteration time + dispersion.
 
     The tunneled donor chip is co-tenanted — the SAME executable has
-    measured 27..60 ms/step across runs (ROUND2_NOTES). Each chain is
-    best-of-N independently and the difference of the two minima is the
-    per-iteration estimate: a contention spike in ONE K1 trial then can't
-    drag the estimate below truth the way min-over-per-trial-differences
-    could (that estimator picked whichever trial flattered the delta most
-    — the round-4 ladder even produced a negative "time" that way). The
-    per-trial sample list is still reported so dispersion stays visible.
+    measured 27..60 ms/step across runs (ROUND2_NOTES), and contention
+    spikes are one-sided. Round 4's best-of-N measured the noise floor
+    (the 2,342 f/s direct headline was one lucky draw; the driver record
+    said 1,316). The round-5 estimator is
+        (median over t2 trials - median over t1 trials) / (k2 - k1)
+    — robust unless more than half of either chain's trials are spiked,
+    and structurally unable to go negative the way per-trial differences
+    could (BENCH_r04's -1124.66 ms sample). Returns
+    (per_iter_s, t1_med, t2_med, per-trial-delta list, dispersion dict).
     """
     run1()
     run2()
-    samples, best1, best2 = [], float("inf"), float("inf")
+    t1s, t2s, deltas = [], [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run1()
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         run2()
-        t2 = time.perf_counter() - t0
-        best1, best2 = min(best1, t1), min(best2, t2)
-        samples.append((t2 - t1) / (k2 - k1))
-    per = (best2 - best1) / (k2 - k1)
-    if per <= 0:  # timing noise swamped the delta; raw K2 upper bound
-        per = best2 / k2
-    return per, best1, best2, samples
+        t2s.append(time.perf_counter() - t0)
+        deltas.append((t2s[-1] - t1s[-1]) / (k2 - k1))
+    t1m, t2m = float(np.median(t1s)), float(np.median(t2s))
+    per = (t2m - t1m) / (k2 - k1)
+    if per <= 0:  # >half the K1 trials spiked; raw K2 upper bound
+        per = t2m / k2
+    q1, q3 = np.percentile(deltas, [25, 75])
+    disp = {"estimator": f"median_of_{repeats}_two_k",
+            "delta_iqr_ms": [round(q1 * 1e3, 2), round(q3 * 1e3, 2)]}
+    return per, t1m, t2m, deltas, disp
 
 
 # --------------------------------------------------------------------------
@@ -177,7 +198,8 @@ def tpu_lifting_throughput():
                 return float(s)  # host materialization: the reliable fence
             return run
 
-        per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), K1, K2)
+        per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), K1, K2,
+                                  repeats=5 if label == "fused" else 3)
         _log(f"lifting[{label}]: K{K1} {t1*1e3:.0f} ms, K{K2} {t2*1e3:.0f} ms"
              f" -> {per_iter*1e3:.3f} ms/iter (RTT cancelled)")
         return per_iter
@@ -247,6 +269,12 @@ def cpu_reference_throughput() -> float:
                 x = b(x)
             return self.head2(torch.relu(self.head1(x)))
 
+    cache_key = f"torch{torch.__version__}-b{CPU_BATCH}i{CPU_ITERS}"
+    cached = _cpu_ref_cache_read(cache_key)
+    if cached is not None:
+        _log(f"lifting cpu reference: {cached:,.0f} frames/s (cached)")
+        return cached
+
     model = Lifter().eval()
     x = torch.rand(CPU_BATCH, 17, 2)
     best = float("inf")
@@ -260,7 +288,44 @@ def cpu_reference_throughput() -> float:
             for _ in range(CPU_ITERS):
                 model(x)
             best = min(best, time.perf_counter() - t0)
-    return CPU_BATCH * CPU_ITERS / best
+    fps = CPU_BATCH * CPU_ITERS / best
+    _cpu_ref_cache_write(cache_key, fps)
+    return fps
+
+
+_CPU_REF_CACHE = "logs/cpu_ref_cache.json"
+
+
+def _cpu_ref_cache_read(key):
+    """The torch-CPU anchor is code-stable (clean-room module, fixed
+    shapes); re-measuring it every driver run spends bench budget on a
+    number that only moves with host contention. Cache best-of-3 keyed by
+    torch version + config; delete the file to force a re-measure."""
+    try:
+        with open(_CPU_REF_CACHE) as f:
+            data = json.load(f)
+        return float(data[key])
+    except Exception:
+        return None
+
+
+def _cpu_ref_cache_write(key, fps):
+    try:
+        import os
+
+        os.makedirs("logs", exist_ok=True)
+        data = {}
+        try:
+            with open(_CPU_REF_CACHE) as f:
+                data = json.load(f)
+        except Exception:
+            pass
+        # keep the best (least-contended) measurement across runs
+        data[key] = max(fps, float(data.get(key, 0.0)))
+        with open(_CPU_REF_CACHE, "w") as f:
+            json.dump(data, f)
+    except Exception:
+        pass
 
 
 # --------------------------------------------------------------------------
@@ -311,28 +376,29 @@ def tpu_direct_train_throughput():
 
             return run
 
-        # best-of-5 against chip co-tenancy (VERDICT r2 item 4): the
-        # driver number should be the defensible least-contended result,
-        # with the dispersion on the record instead of hidden in one draw
-        per_step, t1, t2, samples = _two_k_best(
+        # median-of-9 against chip co-tenancy (VERDICT r4 item 1): the
+        # driver number is the reproducible middle of the distribution,
+        # with the per-trial deltas on the record as the dispersion
+        per_step, t1, t2, samples, disp_stats = _two_k_median(
             runner(DIRECT_K1), runner(DIRECT_K2), DIRECT_K1, DIRECT_K2,
-            repeats=5,
+            repeats=9,
         )
         fl = _per_iter_flops(_flops(compiled[DIRECT_K1]),
                              _flops(compiled[DIRECT_K2]))
         disp = [round(s * 1e3, 2) for s in samples]
-        _log(f"direct ({'fused' if fuse else 'xla'} epilogue): best "
-             f"{per_step*1e3:.2f} ms/step (5 two-K repeats, ms: {disp})")
-        return per_step, fl, disp
+        _log(f"direct ({'fused' if fuse else 'xla'} epilogue): median "
+             f"{per_step*1e3:.2f} ms/step (9 two-K repeats, deltas ms: "
+             f"{disp}, iqr {disp_stats['delta_iqr_ms']})")
+        return per_step, fl, disp, disp_stats
 
-    per_step, fl, disp = measure(False)
+    per_step, fl, disp, disp_stats = measure(False)
     extra = {"xla_epilogue_ms": round(per_step * 1e3, 2),
-             "step_ms_samples": disp, "epilogue": "xla"}
+             "step_ms_samples": disp, "epilogue": "xla", **disp_stats}
     # round-4 fused 1x1-conv+decode kernel (ops/pallas_conv_decode): take
-    # it when it wins; a Mosaic reject or regression falls back, with both
-    # configurations on the record either way
+    # it when it wins AT THE MEDIAN; a Mosaic reject or regression falls
+    # back, with both configurations on the record either way
     try:
-        fused_step, fused_fl, fused_disp = measure(True)
+        fused_step, fused_fl, fused_disp, _ = measure(True)
         extra["fused_epilogue_ms"] = round(fused_step * 1e3, 2)
         extra["fused_step_ms_samples"] = fused_disp
         if fused_step < per_step:
@@ -389,14 +455,16 @@ def tpu_temporal_train_throughput():
 
             return run
 
-        # best-of-4: the same chip-co-tenancy defense as direct_train —
+        # median-of-7: the same chip-co-tenancy defense as direct_train —
         # measured spread on this step is 30.6..37.1 ms across windows
-        per_step, t1, t2, samples = _two_k_best(
+        per_step, t1, t2, samples, disp_stats = _two_k_median(
             runner(TEMPORAL_K1), runner(TEMPORAL_K2),
-            TEMPORAL_K1, TEMPORAL_K2, repeats=4)
+            TEMPORAL_K1, TEMPORAL_K2, repeats=7)
         f1, f2 = _flops(compiled[TEMPORAL_K1]), _flops(compiled[TEMPORAL_K2])
-        _log(f"temporal[{label}]: best {per_step*1e3:.2f} ms/step "
-             f"(4 two-K repeats, ms: {[round(s*1e3, 2) for s in samples]})")
+        _log(f"temporal[{label}]: median {per_step*1e3:.2f} ms/step "
+             f"(7 two-K repeats, deltas ms: "
+             f"{[round(s*1e3, 2) for s in samples]}, "
+             f"iqr {disp_stats['delta_iqr_ms']})")
         return per_step, _per_iter_flops(f1, f2)
 
     # headline: fused Pallas fwd+bwd sub-block kernels (remat-in-kernel,
@@ -552,14 +620,68 @@ def _make_bench_video(path, n=E2E_FRAMES, w=640, h=480):
     writer.release()
 
 
+def _build_e2e_detector(batch):
+    """PoseNet2D for the e2e pipeline: the TRAINED checkpoint when one
+    exists (VERDICT r4 item 4 — the recorded e2e number should reflect the
+    real path, not a randomly-initialized detector), random init otherwise.
+    Checkpoint location: $POSE3D_DET_LOGDIR / $POSE3D_DET_RUN (defaults
+    ./logs, det-bench — `python -m pose3d_tpu.cli.train_detector
+    --run_name det-bench` writes it). Returns (detect_fn, source_label)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.models.heads import PoseNet2D
+    from pose3d_tpu.train import checkpoint as ckpt
+
+    log_dir = os.environ.get("POSE3D_DET_LOGDIR", "./logs")
+    run = os.environ.get("POSE3D_DET_RUN", "det-bench")
+    arch, source = "resnet50", "random-init"
+    if ckpt.exists(log_dir, run):
+        meta = ckpt.load_meta(log_dir, run)
+        arch = meta.get("architecture", "resnet50")
+        source = f"trained({run}, eval_px={meta.get('eval_px_err', '?')})"
+
+    det = PoseNet2D(architecture=arch, dtype=jnp.bfloat16)
+    det_vars = jax.jit(
+        lambda r, xx: det.init({"params": r}, xx, train=False)
+    )(jax.random.key(0), jnp.zeros((batch, 256, 256, 3)))
+    if source != "random-init":
+        try:
+            params, stats = ckpt.restore_params(
+                log_dir, run, det_vars["params"],
+                batch_stats_template=det_vars["batch_stats"])
+            det_vars = {"params": params, "batch_stats": stats}
+        except Exception as e:  # noqa: BLE001 — fall back, keep benching
+            _log(f"e2e: trained detector restore failed "
+                 f"({type(e).__name__}: {str(e)[:120]}); using random init")
+            source = "random-init"
+
+    @jax.jit
+    def detect(frames_u8):
+        x = frames_u8.astype(jnp.float32) / 256.0  # H36_dataset.py:131
+        return det.apply(det_vars, x, train=False).reshape(-1, 17, 2)
+
+    return detect, source
+
+
 def tpu_e2e_video_throughput():
-    """Whole video->3D pipeline wall-clock: native C++ decode ->
-    PoseNet2D detector (batched, on-device normalize) -> fused temporal
-    lifter (lift_sequence clip machinery) -> reprojection-consistency
-    reduction. This is the reference's phase-2 story (run.py:453-478:
-    ffmpeg + ONE OpenPifPaf SUBPROCESS PER FRAME + external MotionBERT —
-    minutes/video) as one native in-process pipeline; reported as
-    video frames/s end-to-end, with the stage split."""
+    """Whole video->3D pipeline wall-clock: native C++ decode (OVERLAPPED
+    with detection — chunk i detects on device while chunk i+1 decodes) ->
+    PoseNet2D detector (trained checkpoint when available) -> fused
+    temporal lifter -> reprojection-consistency reduction. This is the
+    reference's phase-2 story (run.py:453-478: ffmpeg + ONE OpenPifPaf
+    SUBPROCESS PER FRAME + external MotionBERT — minutes/video) as one
+    native in-process pipeline.
+
+    Two numbers (VERDICT r4 item 6): ``video_frames_per_s`` is the
+    end-to-end wall including decode and tunnel transfers
+    (environment-dominated here — the axon tunnel makes host->device copies
+    of 100 MB of frames cost seconds they would not on a real host), and
+    ``device_resident_fps`` is the chip-side detect+lift rate on frames
+    already in HBM — the number that measures the chip and is stable
+    across tunnel conditions."""
     import pathlib
     import tempfile
 
@@ -569,9 +691,8 @@ def tpu_e2e_video_throughput():
     from pose3d_tpu import losses
     from pose3d_tpu.data.native_video import (
         native_available,
-        read_video_frames,
+        stream_video_frames,
     )
-    from pose3d_tpu.models.heads import PoseNet2D
     from pose3d_tpu.models.temporal import TemporalLifter
     from pose3d_tpu.pipeline.lift import lift_sequence
 
@@ -579,15 +700,8 @@ def tpu_e2e_video_throughput():
     if not video.exists():
         _make_bench_video(video)
 
-    det = PoseNet2D(architecture="resnet50", dtype=jnp.bfloat16)
-    det_vars = jax.jit(
-        lambda r, xx: det.init({"params": r}, xx, train=False)
-    )(jax.random.key(0), jnp.zeros((E2E_DETECT_B, 256, 256, 3)))
-
-    @jax.jit
-    def detect(v, frames_u8):
-        x = frames_u8.astype(jnp.float32) / 256.0  # H36_dataset.py:131
-        return det.apply(v, x, train=False).reshape(-1, 17, 2)
+    detect, det_source = _build_e2e_detector(E2E_DETECT_B)
+    _log(f"e2e detector: {det_source}")
 
     lifter = TemporalLifter(dtype=jnp.bfloat16)
     lifter_params = jax.jit(
@@ -602,29 +716,28 @@ def tpu_e2e_video_throughput():
         k = kp2d - kp2d[..., :1, :]
         return losses.l1(p, k)
 
+    def pad_chunk(chunk):
+        pad = E2E_DETECT_B - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, 256, 256, 3), np.uint8)])
+        return chunk, E2E_DETECT_B - pad
+
     def run_pipeline():
         ts = {}
+        # decode+detect OVERLAPPED: jax dispatch is async, so detection of
+        # chunk i runs on device while the C++ decoder produces chunk i+1
         t0 = time.perf_counter()
-        frames = read_video_frames(video, size=256, dtype=np.uint8)
-        ts["decode"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        # enqueue every chunk before fetching any result: jax dispatch is
-        # async, so the host->device transfers and the detector compute
-        # pipeline instead of syncing once per chunk
         pending, tails = [], []
-        for s in range(0, len(frames), E2E_DETECT_B):
-            chunk = frames[s:s + E2E_DETECT_B]
-            pad = E2E_DETECT_B - len(chunk)
-            if pad:  # pad to the compiled shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, 256, 256, 3), np.uint8)])
-            pending.append(detect(det_vars, jnp.asarray(chunk)))
-            tails.append(E2E_DETECT_B - pad)
+        for chunk in stream_video_frames(video, size=256,
+                                         chunk=E2E_DETECT_B):
+            chunk, n_real = pad_chunk(chunk)
+            pending.append(detect(jnp.asarray(chunk)))
+            tails.append(n_real)
         kp2d = np.concatenate(
             [np.asarray(p)[:n] for p, n in zip(pending, tails)]
         )  # (N,17,2) in [0,1]
-        ts["detect"] = time.perf_counter() - t0
+        ts["decode+detect"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         pose3d = lift_sequence(lifter_params, lifter, kp2d * 1000.0,
@@ -635,21 +748,51 @@ def tpu_e2e_video_throughput():
         gap = float(reproject_gap(jnp.asarray(pose3d), jnp.asarray(kp2d)))
         ts["reproject"] = time.perf_counter() - t0
         assert np.isfinite(gap)
-        return ts, len(frames)
+        return ts, len(kp2d), kp2d
 
     run_pipeline()  # warm: compiles detector + fused lifter shapes
-    best, stages = None, None
-    for _ in range(3):
-        ts, n = run_pipeline()
+    best, stages, n, kp2d = None, None, 0, None
+    for _ in range(2):
+        ts, n, kp2d = run_pipeline()
         total = sum(ts.values())
         if best is None or total < best:
             best, stages = total, ts
     fps = n / best
+
+    # chip-side rate: frames staged to HBM untimed, then detect (all chunks
+    # enqueued async, one fence) + lift timed — no decode, no host->device
+    dev_chunks, tails = [], []
+    off = 0
+    while off < n:
+        chunk, n_real = pad_chunk(
+            np.zeros((min(E2E_DETECT_B, n - off), 256, 256, 3), np.uint8))
+        dev_chunks.append(jax.device_put(jnp.asarray(chunk)))
+        tails.append(n_real)
+        off += n_real
+    jax.block_until_ready(dev_chunks)
+    t0 = time.perf_counter()
+    pend = [detect(c) for c in dev_chunks]
+    kp_dev = np.concatenate(
+        [np.asarray(p)[:m] for p, m in zip(pend, tails)])
+    t_detect_dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lift_sequence(lifter_params, lifter, kp_dev * 1000.0, image_size=1000.0)
+    t_lift_dev = time.perf_counter() - t0
+    chip_fps = n / (t_detect_dev + t_lift_dev)
+
     _log(f"e2e video->3D: {fps:,.0f} video frames/s "
          f"({n} frames in {best*1e3:.0f} ms; "
          + ", ".join(f"{k} {v*1e3:.0f}" for k, v in stages.items())
-         + " ms; native decode=" + str(native_available()) + ")")
-    return fps, {k: round(v * 1e3, 1) for k, v in stages.items()}
+         + f" ms; native decode={native_available()}; "
+         f"chip-side {chip_fps:,.0f} fps "
+         f"(detect {t_detect_dev*1e3:.0f} + lift {t_lift_dev*1e3:.0f} ms, "
+         f"device-resident); detector={det_source})")
+    stage_ms = {k: round(v * 1e3, 1) for k, v in stages.items()}
+    return fps, {"stage_ms": stage_ms,
+                 "device_resident_fps": round(chip_fps, 1),
+                 "device_detect_ms": round(t_detect_dev * 1e3, 1),
+                 "device_lift_ms": round(t_lift_dev * 1e3, 1),
+                 "detector": det_source}
 
 
 def _fail_headline(reason: str):
@@ -682,6 +825,20 @@ def _init_backend_or_die(timeout_s: int = 600):
         except Exception as e:  # noqa: BLE001
             result["error"] = f"{type(e).__name__}: {e}"
 
+    if os.environ.get("BENCH_COMPILE_CACHE"):
+        # persistent executable cache: repeated driver runs skip the
+        # ~20-40 s/executable tunnel compiles (opt-in until proven against
+        # the axon remote-compile backend)
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir",
+                              "logs/jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # noqa: BLE001
+            _log(f"compile cache unavailable: {e}")
+
     th = threading.Thread(target=probe, daemon=True)
     th.start()
     th.join(timeout_s)
@@ -695,8 +852,32 @@ def _init_backend_or_die(timeout_s: int = 600):
     _log(f"devices: {result['devices']}")
 
 
+def _emit(tpu_fps, cpu_fps, extra, t_start):
+    """Print the CUMULATIVE headline JSON (one line, flushed). Called after
+    every workload so a driver timeout still leaves the latest complete
+    record as the last JSON line on stdout (BENCH_r04 was rc=124 with
+    parsed=null because the single final line never printed)."""
+    extra = dict(extra)
+    extra["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps({
+        "metric": "lifted frames/sec/chip (H3.6M 2D->3D)",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "extra": extra,
+    }), flush=True)
+
+
 def main():
+    import os
+
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "840"))
     _init_backend_or_die()
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
     try:
         tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
     except Exception as e:  # noqa: BLE001 — one JSON line no matter what
@@ -717,34 +898,44 @@ def main():
             **lift_mfu,
         },
     }
-    try:
+    _emit(tpu_fps, cpu_fps, extra, t_start)
+
+    def direct():
         direct_fps, direct_mfu = tpu_direct_train_throughput()
         _log(f"direct train: {direct_fps:,.0f} frames/s {direct_mfu}")
-        extra["direct_train"] = {
+        return {
             "frames_per_s": round(direct_fps, 1),
             "vs_1080ti": round(direct_fps / REF_1080TI_FPS, 2),
-            "config": "R50+64^3 soft-argmax B=64 bf16 (XLA NHWC decode)",
+            "config": "R50+64^3 soft-argmax B=64 bf16",
             **direct_mfu,
         }
-    except Exception as e:  # noqa: BLE001 — headline must still print
-        _log(f"direct train bench FAILED: {type(e).__name__}: {e}")
-        extra["direct_train"] = {"error": str(e)[:200]}
-    try:
+
+    def temporal_train():
         temporal_fps, temporal_mfu = tpu_temporal_train_throughput()
         _log(f"temporal train: {temporal_fps:,.0f} frames/s {temporal_mfu}")
-        extra["temporal_train"] = {
+        return {
             "frames_per_s": round(temporal_fps, 1),
             "vs_baseline": None,  # reference delegates to external MotionBERT
             "config": "243-frame 5-block transformer B=8 bf16",
             **temporal_mfu,
         }
-    except Exception as e:  # noqa: BLE001
-        _log(f"temporal train bench FAILED: {type(e).__name__}: {e}")
-        extra["temporal_train"] = {"error": str(e)[:200]}
-    try:
+
+    def temporal_infer():
+        ti_fps, ti_xla_fps = tpu_temporal_infer_throughput()
+        _log(f"temporal infer: {ti_fps:,.0f} frames/s "
+             f"(xla {ti_xla_fps:,.0f})")
+        return {
+            "frames_per_s": round(ti_fps, 1),
+            "xla_apply_frames_per_s": round(ti_xla_fps, 1),
+            "vs_baseline": None,  # reference: external MotionBERT, no number
+            "config": "243-frame serving, fused spatial+temporal "
+                      "sub-block kernels, B=16 bf16",
+        }
+
+    def flip():
         flip_fps, flip_mfu = tpu_flip_lift_throughput()
         _log(f"flip lift: {flip_fps:,.0f} frames/s {flip_mfu}")
-        extra["flip_lift"] = {
+        return {
             "frames_per_s": round(flip_fps, 1),
             # the reference runs the flip pass as a SECOND sequential
             # forward (train_5.py:153-168) => its per-frame cost doubles;
@@ -753,47 +944,47 @@ def main():
             "config": "flip-consistency 2x-batch fused lifting, B=4096 bf16",
             **flip_mfu,
         }
-    except Exception as e:  # noqa: BLE001
-        _log(f"flip lift bench FAILED: {type(e).__name__}: {e}")
-        extra["flip_lift"] = {"error": str(e)[:200]}
-    try:
-        e2e_fps, e2e_stages = tpu_e2e_video_throughput()
-        extra["e2e_video"] = {
+
+    def e2e():
+        e2e_fps, e2e_extra = tpu_e2e_video_throughput()
+        return {
             "video_frames_per_s": round(e2e_fps, 1),
-            "stage_ms": e2e_stages,
             # no runnable reference anchor exists in this env: the
             # reference's phase-2 pipeline forks one OpenPifPaf subprocess
             # PER FRAME (run.py:134-166, model re-init each time) plus a
             # manual MotionBERT hand-off — order seconds/frame
             "vs_baseline": None,
-            "config": "640x480 mp4 -> native decode -> PoseNet2D(R50) "
-                      "-> fused temporal lift -> reprojection, "
-                      f"{E2E_FRAMES} frames",
+            "config": "640x480 mp4 -> native decode||detect overlap -> "
+                      f"fused temporal lift, {E2E_FRAMES} frames",
+            **e2e_extra,
         }
-    except Exception as e:  # noqa: BLE001
-        _log(f"e2e video bench FAILED: {type(e).__name__}: {e}")
-        extra["e2e_video"] = {"error": str(e)[:200]}
-    try:
-        ti_fps, ti_xla_fps = tpu_temporal_infer_throughput()
-        _log(f"temporal infer: {ti_fps:,.0f} frames/s "
-             f"(xla {ti_xla_fps:,.0f})")
-        extra["temporal_infer"] = {
-            "frames_per_s": round(ti_fps, 1),
-            "xla_apply_frames_per_s": round(ti_xla_fps, 1),
-            "vs_baseline": None,  # reference: external MotionBERT, no number
-            "config": "243-frame serving, fused spatial+temporal sub-block kernels, B=16 bf16",
-        }
-    except Exception as e:  # noqa: BLE001
-        _log(f"temporal infer bench FAILED: {type(e).__name__}: {e}")
-        extra["temporal_infer"] = {"error": str(e)[:200]}
 
-    print(json.dumps({
-        "metric": "lifted frames/sec/chip (H3.6M 2D->3D)",
-        "value": round(tpu_fps, 1),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(tpu_fps / cpu_fps, 2),
-        "extra": extra,
-    }))
+    # scoreboard order with conservative cost floors (compile time through
+    # the tunnel dominates); a workload only starts if it plausibly fits —
+    # better an explicit "skipped" marker than the driver's rc=124
+    # floors are measured one-chip costs (2026-08-19 run: lifting 212 s,
+    # direct 286 s, temporal-infer 190 s, flip 45 s, e2e 190 s)
+    workloads = [
+        ("direct_train", direct, 250.0),
+        ("temporal_train", temporal_train, 180.0),
+        ("temporal_infer", temporal_infer, 150.0),
+        ("flip_lift", flip, 45.0),
+        ("e2e_video", e2e, 150.0),
+    ]
+    for name, fn, cost_floor in workloads:
+        if remaining() < cost_floor:
+            _log(f"{name} SKIPPED: {remaining():.0f}s of {budget_s:.0f}s "
+                 f"budget left < {cost_floor:.0f}s floor")
+            extra[name] = {"skipped": f"time budget ({remaining():.0f}s "
+                                      f"left < {cost_floor:.0f}s floor)"}
+            _emit(tpu_fps, cpu_fps, extra, t_start)
+            continue
+        try:
+            extra[name] = fn()
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            _log(f"{name} bench FAILED: {type(e).__name__}: {e}")
+            extra[name] = {"error": str(e)[:200]}
+        _emit(tpu_fps, cpu_fps, extra, t_start)
 
 
 if __name__ == "__main__":

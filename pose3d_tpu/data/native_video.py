@@ -78,6 +78,74 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
+def stream_video_frames(path, size: int = 256, chunk: int = 64,
+                        stride: int = 1, dtype=np.uint8):
+    """Generator of (n, size, size, 3) frame chunks (n <= ``chunk``; the
+    last chunk may be short). Same pixel contract as ``read_video_frames``
+    — centre-crop, resize, RGB — but yields as the decoder produces, so
+    callers can overlap decode with device work (the e2e pipeline
+    dispatches detection on chunk i while chunk i+1 decodes)."""
+    path = str(path)
+    lib = _load_library()
+    if lib is not None:
+        h = lib.vd_open(path.encode())
+        if not h:
+            raise FileNotFoundError(f"cannot open video {path}")
+        try:
+            while True:
+                if dtype == np.uint8:
+                    buf = np.empty((chunk, size, size, 3), np.uint8)
+                    n = lib.vd_read_frames_u8(
+                        h, size, stride, chunk,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+                else:
+                    buf = np.empty((chunk, size, size, 3), np.float32)
+                    n = lib.vd_read_frames_f32(
+                        h, size, stride, chunk,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                if n > 0:
+                    yield buf[:n]
+                if n < chunk:
+                    return
+        finally:
+            lib.vd_close(h)
+
+    else:
+        # python fallback: batch the cv2 loop to the same chunk contract
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {path}")
+        frames, idx = [], 0
+        try:
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                if idx % stride:
+                    idx += 1
+                    continue
+                idx += 1
+                hh, ww = bgr.shape[:2]
+                side = min(hh, ww)
+                y0, x0 = (hh - side) // 2, (ww - side) // 2
+                crop = bgr[y0:y0 + side, x0:x0 + side]
+                if side != size:
+                    crop = cv2.resize(crop, (size, size),
+                                      interpolation=cv2.INTER_LINEAR)
+                rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
+                frames.append(rgb if dtype == np.uint8
+                              else rgb.astype(np.float32) / 256.0)
+                if len(frames) == chunk:
+                    yield np.stack(frames)
+                    frames = []
+            if frames:
+                yield np.stack(frames)
+        finally:
+            cap.release()
+
+
 def read_video_frames(path, size: int = 256, stride: int = 1,
                       max_frames: int | None = None,
                       dtype=np.uint8) -> np.ndarray:

@@ -114,6 +114,28 @@ class TestNativeVideoDecode:
         np.testing.assert_array_equal(native, python)
 
 
+def test_stream_matches_batch_reader(video_file):
+    """stream_video_frames chunks concatenate to exactly read_video_frames
+    — on whichever path is active (native or cv2 fallback)."""
+    batch = native_video.read_video_frames(video_file, size=48)
+    chunks = list(native_video.stream_video_frames(video_file, size=48,
+                                                   chunk=7))
+    assert all(len(c) == 7 for c in chunks[:-1])
+    assert len(chunks[-1]) == 25 - 7 * (len(chunks) - 1)
+    np.testing.assert_array_equal(np.concatenate(chunks), batch)
+
+
+def test_stream_fallback_matches_native(video_file, monkeypatch):
+    """The python-fallback stream yields the same pixels as the active
+    path (bit-identical codec/resize contract)."""
+    active = np.concatenate(list(
+        native_video.stream_video_frames(video_file, size=32, chunk=6)))
+    monkeypatch.setattr(native_video, "_load_library", lambda: None)
+    fallback = np.concatenate(list(
+        native_video.stream_video_frames(video_file, size=32, chunk=6)))
+    np.testing.assert_array_equal(active, fallback)
+
+
 def test_pipeline_extract_frames_uses_native(video_file, tmp_path):
     """pipeline.video.extract_frames must produce the reference layout
     through whichever path is active."""

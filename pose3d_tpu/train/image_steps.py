@@ -134,6 +134,71 @@ def make_direct_chunk_step(loss: str = "mse",
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_dp_direct_train_step(mesh, loss: str = "mse",
+                              donate: bool = True):
+    """Data-parallel direct-model train step via ``shard_map`` — the mesh
+    path for ``PoseNet3D(fuse_final_conv=True)`` (VERDICT r4 item 5).
+
+    GSPMD cannot partition a ``pallas_call``, so the fused conv+decode
+    epilogue (ops/pallas_conv_decode) cannot ride the jit-with-shardings
+    route the plain XLA-epilogue model uses (tests/test_mesh_image.py).
+    Here each shard runs the identical single-chip program — fused
+    epilogue included — on its batch slice; loss/grads ``pmean`` and
+    per-joint MPJPE sums ``psum`` over the data axis.
+
+    BatchNorm contract (differs from the GSPMD path): torch-DDP-style
+    LOCAL BN — each shard normalizes with its own shard's batch
+    statistics, and the updated running stats are pmean-averaged across
+    shards (the average of per-shard batch means IS the global batch
+    mean for equal shards; the averaged variance omits the between-shard
+    mean spread, exactly as torch DDP without SyncBatchNorm). Exact
+    global-batch BN stays on the GSPMD path.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from pose3d_tpu.parallel.mesh import DATA_AXIS
+
+    loss_fn_ = LOSS_FNS[loss]
+
+    def step(state, frames, kp3d, rng):
+        apply_fn = state.apply_fn  # static — safe to close over
+
+        def per_shard(params, batch_stats, f, y, r):
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+            f = _normalize(f)
+
+            def loss_fn(p):
+                variables = {"params": p, "batch_stats": batch_stats}
+                (coords, _hm), updates = apply_fn(
+                    variables, f, train=True, rngs={"dropout": r},
+                    mutable=["batch_stats"],
+                )
+                pred = coords.reshape(y.shape)
+                return loss_fn_(pred, y), (pred, updates["batch_stats"])
+
+            (lv, (pred, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            lv = jax.lax.pmean(lv, DATA_AXIS)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+            mpjpe = jax.lax.psum(losses.loss_mpjpe(pred, y), DATA_AXIS)
+            return lv, grads, new_bs, mpjpe
+
+        loss_val, grads, new_bs, mpjpe = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P(), P()),
+            # pallas_call out_shapes carry no varying-manner annotation;
+            # replication of the outputs is guaranteed by the pmean/psum
+            check_vma=False,
+        )(state.params, state.batch_stats, frames, kp3d, rng)
+        state = state.with_lr(state.plateau.lr)
+        state = state.apply_gradients(grads, new_bs)
+        return state, {"loss": loss_val, "mpjpe_sums": mpjpe}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_direct_eval_chunk_step(loss: str = "mse"):
     """Whole-eval-set step: (state, frames (K,B,H,W,3), kp3d (K,B,17,3)) ->
     {"loss" mean, "mpjpe_sums"} in ONE dispatch (lax.scan over batches)."""

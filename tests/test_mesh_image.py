@@ -104,6 +104,101 @@ class TestImageModelsUnderMesh:
         shard_mean = frames[: B // 8].mean()
         assert abs(shard_mean - frames.mean()) > 0.1
 
+class TestDPDirectShardMap:
+    """make_dp_direct_train_step: the shard_map DP route for the fused
+    conv+decode epilogue (VERDICT r4 item 5 — GSPMD cannot partition a
+    pallas_call, so PoseNet3D(fuse_final_conv=True) needs this step to
+    scale). With every shard fed the IDENTICAL batch, the step's local-BN
+    semantics coincide with global BN, so the DP step must match the
+    single-device step on one shard's batch EXACTLY: pmean over identical
+    values is the identity, psum is x8."""
+
+    def _parity(self, fuse, rng, image=64, b_shard=2):
+        import jax.numpy as jnp
+
+        from pose3d_tpu.models.heads import PoseNet3D
+        from pose3d_tpu.train.image_steps import (
+            make_direct_train_step,
+            make_dp_direct_train_step,
+        )
+
+        mesh = make_mesh(n_data=8)
+        model = PoseNet3D(architecture="resnet18", return_heatmap=False,
+                          use_pallas=False, fuse_final_conv=fuse)
+        shard_frames = rng.random((b_shard, image, image, 3), np.float32)
+        shard_kp = (rng.random((b_shard, 17, 3), np.float32) - 0.5) * 1.5
+        frames = np.tile(shard_frames, (8, 1, 1, 1))
+        kp3d = np.tile(shard_kp, (8, 1, 1))
+
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((b_shard, image, image, 3)),
+            lr=1e-3, optimizer="adam", weight_decay=1e-8)
+        dp_step = make_dp_direct_train_step(mesh, donate=False)
+        one_step = make_direct_train_step(donate=False)
+
+        dp_state, dp_m = dp_step(state, jnp.asarray(frames),
+                                 jnp.asarray(kp3d), jax.random.key(7))
+        ref_state, ref_m = one_step(state, jnp.asarray(shard_frames),
+                                    jnp.asarray(shard_kp),
+                                    jax.random.key(7))
+        np.testing.assert_allclose(float(dp_m["loss"]),
+                                   float(ref_m["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp_m["mpjpe_sums"]),
+                                   8 * np.asarray(ref_m["mpjpe_sums"]),
+                                   rtol=1e-4)
+        _assert_tree_close(dp_state.params, ref_state.params, atol=1e-5)
+        _assert_tree_close(dp_state.batch_stats, ref_state.batch_stats,
+                           atol=1e-5)
+
+    def test_plumbing_matches_single_device(self, devices, rng):
+        """XLA-epilogue model: fast check of the shard_map wiring."""
+        self._parity(False, rng, image=32)
+
+    @pytest.mark.slow
+    def test_fused_epilogue_matches_single_device(self, devices, rng):
+        """fuse_final_conv=True: the pallas conv+decode kernels (interpret
+        mode on CPU) run inside the shard_map step — the configuration the
+        GSPMD path cannot express."""
+        self._parity(True, rng, image=64)
+
+    def test_skewed_shards_local_bn_contract(self, devices, rng):
+        """Distinct shards: the step runs (finite metrics, params move) and
+        the averaged running stats differ from the global-batch oracle's —
+        i.e. the documented torch-DDP local-BN semantics, not a silent
+        global-BN claim."""
+        import jax.numpy as jnp
+
+        from pose3d_tpu.models.heads import PoseNet3D
+        from pose3d_tpu.train.image_steps import (
+            make_direct_train_step,
+            make_dp_direct_train_step,
+        )
+
+        mesh = make_mesh(n_data=8)
+        model = PoseNet3D(architecture="resnet18", return_heatmap=False,
+                          use_pallas=False)
+        frames = _skewed_frames(rng)
+        kp3d = (rng.random((B, 17, 3), np.float32) - 0.5) * 1.5
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((B, HW, HW, 3)), lr=1e-3)
+        dp_state, dp_m = make_dp_direct_train_step(mesh, donate=False)(
+            state, jnp.asarray(frames), jnp.asarray(kp3d),
+            jax.random.key(3))
+        assert np.isfinite(float(dp_m["loss"]))
+        ref_state, _ = make_direct_train_step(donate=False)(
+            state, jnp.asarray(frames), jnp.asarray(kp3d),
+            jax.random.key(3))
+        # BN variances: local average must differ from the global-batch
+        # value on a skewed batch (the shard means differ from the global
+        # mean by ~0.3 -> missing between-shard variance is O(1e-1))
+        var_dp = np.asarray(jax.tree_util.tree_leaves(
+            dp_state.batch_stats)[1])
+        var_ref = np.asarray(jax.tree_util.tree_leaves(
+            ref_state.batch_stats)[1])
+        assert not np.allclose(var_dp, var_ref, atol=1e-6)
+
+
+class TestImageModelsUnderMesh2:
     @pytest.mark.slow
 
     def test_posenet2d_dp_bn_matches_global_oracle(self, devices, rng):

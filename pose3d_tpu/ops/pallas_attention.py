@@ -129,6 +129,212 @@ def masked_heads_attention(qkv, mask, heads, dh):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _lane_block_mask(g, c, dh, dtype):
+    """(g*c, g*dh) selector: 1 where the row's stack segment (row // c)
+    equals the lane's head block (lane // dh) — multiplying a g-fold
+    sublane stack of a (c, g*dh) head-group slab by this mask produces the
+    block-diagonal expanded operand the grouped matmuls contract against."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g * c, g * dh), 0) // c
+    ln = jax.lax.broadcasted_iota(jnp.int32, (g * c, g * dh), 1) // dh
+    return (r == ln).astype(dtype)
+
+
+def _tiled_seq_mask(g, rows, seq):
+    """(rows, g*rows) bool: the per-``seq`` block-diagonal mask repeated
+    across the g stacked score segments — built directly from iota
+    (Mosaic rejects concatenation of i1 vectors: bitcast_vreg i1->i32
+    "Invalid vector register cast", probed on chip)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, g * rows), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, g * rows), 1)
+    return (r // seq) == ((c % rows) // seq)
+
+
+def _stack_rows(x, g):
+    """g-fold sublane stack [x; x; ...] — concatenate, which Mosaic lowers
+    on the major dim (jnp.tile is riskier inside a kernel body)."""
+    return x if g == 1 else jnp.concatenate([x] * g, axis=0)
+
+
+def _collapse_segments(t, g, rows):
+    """Sum a (g*rows, n) stack to (rows, n) by adding its g sublane slices
+    (the Mosaic-safe form of reshape(g, rows, n).sum(0))."""
+    out = t[:rows]
+    for h in range(1, g):
+        out = out + t[h * rows:(h + 1) * rows]
+    return out
+
+
+def _seg_sum_matrix(g, c, dtype):
+    """(g*c, g) static 0/1: column h selects rows of stack segment h —
+    right-multiplying a (rows, g*c) tile by it takes per-segment row sums
+    on the MXU (the VPU has no cheap lane-segment reduction)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (g * c, g), 0) // c
+    h = jax.lax.broadcasted_iota(jnp.int32, (g * c, g), 1)
+    return (r == h).astype(dtype)
+
+
+def _lane_expand_matrix(g, dh, dtype):
+    """(g, g*dh) static 0/1: broadcasts a per-(row, segment) scalar to the
+    segment's dh-lane block via one tiny matmul."""
+    h = jax.lax.broadcasted_iota(jnp.int32, (g, g * dh), 0)
+    ln = jax.lax.broadcasted_iota(jnp.int32, (g, g * dh), 1) // dh
+    return (h == ln).astype(dtype)
+
+
+def grouped_heads_attention(qkv, seq, heads, dh, group):
+    """Exact MHSA with ``group`` heads fused per matmul (kernel-body
+    helper, same contract as ``masked_heads_attention`` with the
+    block-diagonal per-``seq`` mask).
+
+    Why: the per-head formulation issues 2 tiny K=dh matmuls per head —
+    at dh=32 the MXU runs its contraction at 25% utilization, and every
+    q/k/v head slice is a lane-UNALIGNED 32-lane extract (measured: the
+    attention fwd+bwd is ~52% of the fused temporal-train step while
+    being ~1% of its FLOPs, campaign_r4/train_kernel_ablation.log).
+
+    The grouped form stacks g heads' scores side by side in lanes:
+
+      q_g = qkv[:, g0*dh:(g0+g)*dh]          (C, g*dh)  ALIGNED slice
+      K'' = tile(k_g, (g, 1)) * lane_mask    (g*C, g*dh) block-diagonal
+      S   = q_g @ K''^T                      (C, g*C) = [s_h0 | ... ]
+
+    K'' rows of segment h are zero outside head h's lane block, so every
+    S entry is EXACTLY one head's score — no waste entries, and the
+    contraction runs at K = g*dh (128 for g=4, dh=32: full MXU K-width).
+    FLOPs grow g-fold on zeros while utilization grows g-fold: net-even
+    on matmul time with 1/g the issues and zero unaligned lane slices.
+    Per-segment softmax normalizers and their lane broadcast ride tiny
+    static 0/1 matmuls (MXU) instead of lane-segment VPU reductions.
+    """
+    rows, three_dim = qkv.shape
+    dim = three_dim // 3
+    scale = dh ** -0.5
+    g = group
+    seq_mask = None
+    if seq is not None:
+        seq_mask = _tiled_seq_mask(g, rows, seq)
+    lane_mask = _lane_block_mask(g, rows, dh, qkv.dtype)
+    # the normalizer row-sums stay f32 (per-head parity: sum(e) is f32);
+    # the seg matmul is tiny ((C, g*C) x (g*C, g)) so the f32 MXU rate
+    # doesn't matter
+    seg_sum = _seg_sum_matrix(g, rows, jnp.float32)
+    lane_expand = _lane_expand_matrix(g, dh, jnp.float32)
+    outs = []
+    for g0 in range(0, heads, g):
+        sl = slice(g0 * dh, (g0 + g) * dh)
+        qg = qkv[:, sl]
+        kg = qkv[:, dim + g0 * dh:dim + (g0 + g) * dh]
+        vg = qkv[:, 2 * dim + g0 * dh:2 * dim + (g0 + g) * dh]
+        kx = _stack_rows(kg, g) * lane_mask  # (g*C, g*dh)
+        vx = _stack_rows(vg, g) * lane_mask
+        s = jax.lax.dot_general(
+            qg, kx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (C, g*C)
+        if seq_mask is not None:
+            s = jnp.where(seq_mask, s, -jnp.inf)
+        e = score_exp(s)
+        ssum = jax.lax.dot_general(  # (C, g) per-segment row sums
+            e, seg_sum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r_lanes = jax.lax.dot_general(  # (C, g*dh) normalizer broadcast
+            1.0 / ssum, lane_expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        av = jax.lax.dot_general(
+            e.astype(qkv.dtype), vx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, g*dh)
+        outs.append((av * r_lanes).astype(qkv.dtype))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+def grouped_attention_chunk_bwd(qkv, datt, seq, heads, dh, group):
+    """dqkv (C, 3*dim) f32 for ONE row chunk, grouped-head formulation.
+
+    Same probs-factored algebra as the per-head backward (every use of
+    a = e*r factors so only e touches the score tile; see
+    pallas_stblock_train._attention_bwd) with every per-head matmul
+    replaced by its grouped block-diagonal twin:
+
+      dP = do_g @ V'^T   (C, g*C)      dv = segsum((e^T @ rdo) * mask)
+      c  = r * rowsum_seg(dP * e)      ds' = e * dP - c_cols * e
+      dq = (ds' @ K'') * r_lanes * scale
+      dk = segsum((ds'^T @ (q_g * r_lanes)) * mask) * scale
+
+    The two (g*C, g*dh) products (dv, dk) come back stacked by segment;
+    the same static lane mask isolates each head's lanes and a sublane
+    segment-sum collapses the stack — aligned ops only.
+    """
+    rows, three_dim = qkv.shape
+    dim = three_dim // 3
+    scale = dh ** -0.5
+    g = group
+    dt = qkv.dtype
+    seq_mask = None
+    if seq is not None:
+        seq_mask = _tiled_seq_mask(g, rows, seq)
+    lane_mask = _lane_block_mask(g, rows, dh, dt)
+    lane_mask_f = lane_mask.astype(jnp.float32)
+    seg_sum = _seg_sum_matrix(g, rows, jnp.float32)  # f32: normalizer sums
+    lane_expand = _lane_expand_matrix(g, dh, jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for g0 in range(0, heads, g):
+        qg = qkv[:, g0 * dh:(g0 + g) * dh]
+        kg = qkv[:, dim + g0 * dh:dim + (g0 + g) * dh]
+        vg = qkv[:, 2 * dim + g0 * dh:2 * dim + (g0 + g) * dh]
+        do = datt[:, g0 * dh:(g0 + g) * dh]
+        kx = _stack_rows(kg, g) * lane_mask
+        vx = _stack_rows(vg, g) * lane_mask
+        s = jax.lax.dot_general(
+            qg, kx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if seq_mask is not None:
+            s = jnp.where(seq_mask, s, -jnp.inf)
+        e = score_exp(s)  # (C, g*C) f32
+        ssum = jax.lax.dot_general(
+            e, seg_sum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = 1.0 / ssum  # (C, g)
+        r_lanes = jax.lax.dot_general(
+            r, lane_expand, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, g*dh)
+        e_dt = e.astype(dt)
+        # datt may arrive f32 (the sub-block backward's row grads) while
+        # the slab operands are bf16 — matmul operands must share dtype
+        do_dt = do.astype(dt)
+        rdo = (do.astype(jnp.float32) * r_lanes).astype(dt)
+        # dv: stacked (g*C, g*dh), mask to own-head lanes, collapse stack
+        t2 = jax.lax.dot_general(
+            e_dt, rdo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dvs.append(_collapse_segments(t2 * lane_mask_f, g, rows))
+        # dP and ds'
+        dp = jax.lax.dot_general(
+            do_dt, vx, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, g*C)
+        t = dp * e
+        c = r * jax.lax.dot_general(
+            t, seg_sum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (C, g)
+        c_cols = jax.lax.dot_general(  # segment broadcast of c over g*C
+            c, seg_sum, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_dt = (t - c_cols * e).astype(dt)  # == e*(dP - c)
+        # dq = (ds' @ K'') * r * scale — aligned (C, g*dh)
+        dqs.append(jax.lax.dot_general(
+            ds_dt, kx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (r_lanes * scale))
+        # dk: stacked product with r*q, mask, collapse, * scale
+        rq = (qg.astype(jnp.float32) * r_lanes).astype(dt)
+        tk = jax.lax.dot_general(
+            ds_dt, rq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (g*C, g*dh)
+        dks.append(_collapse_segments(tk * lane_mask_f, g, rows) * scale)
+
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+    return jnp.concatenate([cat(dqs), cat(dks), cat(dvs)], axis=-1)
+
+
 def frame_chunked_attention(qkv, seq, heads, dh, chunk):
     """Exact packed attention computed in sequence-aligned row chunks.
 

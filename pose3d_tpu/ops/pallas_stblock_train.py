@@ -72,6 +72,18 @@ TRAIN_ROWS = 272
 # frame-aligned attention-chunk width shared by the fused fwd/bwd spatial
 # kernels: score tiles shrink (TRAIN_ROWS, TRAIN_ROWS) -> (136, 136)
 ATTN_CHUNK = 136
+# heads fused per attention matmul (pallas_attention.grouped_heads_*):
+# 4 heads x dh=32 = K=128 full-MXU contraction instead of 8 per-head K=32
+# matmuls at 25% utilization with unaligned 32-lane slices. The round-4
+# ablation measured attention fwd+bwd at ~52% of the fused train step
+# while being ~1% of its FLOPs — this is the candidate structural fix.
+# None (per-head) until the Mosaic lowering lands: the first grouped
+# variants remote-compile-failed on chip (experiments/
+# attn_group_lowering_probe.py isolates the construct); parity of the
+# grouped math is pinned in interpret mode either way
+# (tests/test_pallas_attention.py::TestGroupedHeadsAttention and the
+# stblock-train gradient parities run with both settings).
+ATTN_GROUP = None
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 _LN_EPS = 1e-5
@@ -110,16 +122,34 @@ def _dot(a, b, ta=False, tb=False):
                                preferred_element_type=jnp.float32)
 
 
+def _chunk_spans(rows, seq, chunk):
+    """Frame-aligned row spans for chunked attention; one full-width span
+    when chunking would split a sequence (same predicate as
+    frame_chunked_attention's fallback)."""
+    if seq is None or chunk >= rows or rows % chunk or chunk % seq:
+        return [(0, rows)]
+    return [(c0, chunk) for c0 in range(0, rows, chunk)]
+
+
 def _attention_fwd(qkv, seq):
     """seq == None -> full attention; else exact per-``seq`` attention in
-    frame-aligned ``ATTN_CHUNK`` score tiles (the dh=32-contraction score
-    matmuls are what the packing costs — exp measured free,
-    experiments/batched_dot_probe.py)."""
+    frame-aligned ``ATTN_CHUNK`` score tiles. With ``ATTN_GROUP`` set the
+    per-head matmuls run head-grouped (K = ATTN_GROUP*DIM_HEAD, aligned
+    slices only — see pallas_attention.grouped_heads_attention)."""
     from pose3d_tpu.ops.pallas_attention import (
         frame_chunked_attention,
+        grouped_heads_attention,
         masked_heads_attention,
     )
 
+    if ATTN_GROUP:
+        spans = _chunk_spans(qkv.shape[0], seq, ATTN_CHUNK)
+        outs = [
+            grouped_heads_attention(qkv[c0:c0 + cl], seq, HEADS, DIM_HEAD,
+                                    ATTN_GROUP)
+            for c0, cl in spans
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     if seq is None:
         return masked_heads_attention(qkv, None, HEADS, DIM_HEAD)
     return frame_chunked_attention(qkv, seq, HEADS, DIM_HEAD, ATTN_CHUNK)
@@ -171,6 +201,19 @@ def _attention_bwd(qkv, datt, seq, dt):
     """
     rows = qkv.shape[0]
     scale = DIM_HEAD ** -0.5
+    if ATTN_GROUP:
+        from pose3d_tpu.ops.pallas_attention import (
+            grouped_attention_chunk_bwd,
+        )
+
+        parts = [
+            grouped_attention_chunk_bwd(
+                qkv[c0:c0 + cl], datt[c0:c0 + cl], seq, HEADS, DIM_HEAD,
+                ATTN_GROUP)
+            for c0, cl in _chunk_spans(rows, seq, ATTN_CHUNK)
+        ]
+        return (parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=0))
     if (seq is None or ATTN_CHUNK >= rows or rows % ATTN_CHUNK
             or ATTN_CHUNK % seq):
         # same predicate as frame_chunked_attention's forward fallback —

@@ -115,6 +115,65 @@ class TestFrameChunkedAttention:
         assert chunk_for(18) >= 128
 
 
+class TestGroupedHeadsAttention:
+    """The grouped-head formulation (g heads fused per matmul via
+    block-diagonal expanded operands) must be EXACTLY the per-head math —
+    f32 here, so parity is tight."""
+
+    @pytest.mark.parametrize("seq,heads,dh,group,rows", [
+        (17, 8, 32, 4, 136),    # spatial train chunk (2 groups of 4)
+        (17, 8, 32, 2, 272),    # alternate grouping
+        (17, 8, 32, 8, 136),    # all heads in one group
+        (None, 8, 32, 4, 243),  # temporal: full attention over the clip
+        (None, 4, 64, 2, 128),  # lifter serving shape (g*dh = 128)
+    ])
+    def test_forward_matches_per_head(self, seq, heads, dh, group, rows):
+        from pose3d_tpu.ops.pallas_attention import (
+            block_diag_mask,
+            grouped_heads_attention,
+            masked_heads_attention,
+        )
+
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.standard_normal(
+            (rows, 3 * heads * dh)).astype(np.float32))
+        mask = None if seq is None else block_diag_mask(rows, seq)
+        want = masked_heads_attention(qkv, mask, heads, dh)
+        got = grouped_heads_attention(qkv, seq, heads, dh, group)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    @pytest.mark.parametrize("seq,heads,dh,group,rows", [
+        (17, 8, 32, 4, 136),
+        (None, 8, 32, 4, 243),
+        (None, 4, 64, 2, 128),
+    ])
+    def test_backward_matches_autodiff(self, seq, heads, dh, group, rows):
+        """grouped_attention_chunk_bwd vs jax.grad of the per-head
+        forward — the hand algebra must be the true vjp."""
+        from pose3d_tpu.ops.pallas_attention import (
+            block_diag_mask,
+            grouped_attention_chunk_bwd,
+            masked_heads_attention,
+        )
+
+        rng = np.random.default_rng(4)
+        qkv = jnp.asarray(rng.standard_normal(
+            (rows, 3 * heads * dh)).astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal(
+            (rows, heads * dh)).astype(np.float32))
+        mask = None if seq is None else block_diag_mask(rows, seq)
+
+        def f(x):
+            return jnp.vdot(masked_heads_attention(x, mask, heads, dh),
+                            g_out)
+
+        want = jax.grad(f)(qkv)
+        got = grouped_attention_chunk_bwd(qkv, g_out, seq, heads, dh, group)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=1e-4)
+
+
 class TestSeqAttention:
     def test_matches_xla(self):
         rng = np.random.default_rng(0)

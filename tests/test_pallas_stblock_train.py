@@ -80,6 +80,46 @@ class TestFusedTrainForward:
                                    atol=1e-5, rtol=2e-3)
         tree_allclose(gp_got, gp_ref, atol=2e-5)
 
+    @pytest.mark.parametrize("group", [2, 4])
+    def test_value_parity_grouped(self, small_model, group, monkeypatch):
+        """The head-GROUPED attention formulation (ATTN_GROUP) inside the
+        fused kernels equals the flax apply — the per-head/grouped switch
+        must be numerics-invariant."""
+        model, params, x = small_model
+        monkeypatch.setattr(st, "ATTN_GROUP", group)
+        want = model.apply({"params": params}, x, train=True)
+        got = st.temporal_train_forward_fused(
+            params, x, n_blocks=2, clip_len=12, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+    @pytest.mark.slow
+    def test_gradient_parity_grouped(self, small_model, monkeypatch):
+        """Full fused-path gradient parity with ATTN_GROUP=4: the grouped
+        backward (pallas_attention.grouped_attention_chunk_bwd) inside the
+        kernel backward vs flax autodiff."""
+        model, params, x = small_model
+        monkeypatch.setattr(st, "ATTN_GROUP", 4)
+        y = jnp.asarray(
+            np.random.default_rng(2).random((3, 12, 17, 3), np.float32))
+
+        def loss_flax(p, xx):
+            out = model.apply({"params": p}, xx, train=True)
+            return jnp.mean((out - y) ** 2)
+
+        def loss_fused(p, xx):
+            out = st.temporal_train_forward_fused(
+                p, xx, n_blocks=2, clip_len=12, interpret=True)
+            return jnp.mean((out - y) ** 2)
+
+        gp_ref = jax.grad(loss_flax, argnums=0)(params, x)
+        gx_ref = jax.grad(loss_flax, argnums=1)(params, x)
+        gp_got = jax.grad(loss_fused, argnums=0)(params, x)
+        gx_got = jax.grad(loss_fused, argnums=1)(params, x)
+        np.testing.assert_allclose(np.asarray(gx_got), np.asarray(gx_ref),
+                                   atol=1e-5, rtol=2e-3)
+        tree_allclose(gp_got, gp_ref, atol=2e-5)
+
     @pytest.mark.slow
 
     def test_slab_matches_joint_major_kernel(self, small_model):

@@ -44,14 +44,16 @@ def measure(st, label):
     r1, r2 = runner(K1), runner(K2)
     l1, l2 = r1(), r2()
     print(f"{label}: losses {l1:.5f} / {l2:.5f}")
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter(); r1(); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); r2(); t2 = time.perf_counter() - t0
-        per = (t2 - t1) / (K2 - K1)
-        best = per if best is None else min(best, per)
-    print(f"{label}: {best*1e3:.2f} ms/step -> {B*t/best:,.0f} frames/s")
-    return best, l2
+    # round-5 estimator: medians per chain (bench.py methodology note)
+    t1s, t2s = [], []
+    for _ in range(7):
+        t0 = time.perf_counter(); r1(); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); r2(); t2s.append(time.perf_counter() - t0)
+    per = (np.median(t2s) - np.median(t1s)) / (K2 - K1)
+    deltas = [round((b - a) / (K2 - K1) * 1e3, 2) for a, b in zip(t1s, t2s)]
+    print(f"{label}: median {per*1e3:.2f} ms/step -> {B*t/per:,.0f} frames/s"
+          f" (deltas ms: {deltas})")
+    return per, l2
 
 
 fused_state = state.replace(apply_fn=make_fused_train_apply())

@@ -76,14 +76,14 @@ ATTN_CHUNK = 136
 # 4 heads x dh=32 = K=128 full-MXU contraction instead of 8 per-head K=32
 # matmuls at 25% utilization with unaligned 32-lane slices. The round-4
 # ablation measured attention fwd+bwd at ~52% of the fused train step
-# while being ~1% of its FLOPs — this is the candidate structural fix.
-# None (per-head) until the Mosaic lowering lands: the first grouped
-# variants remote-compile-failed on chip (experiments/
-# attn_group_lowering_probe.py isolates the construct); parity of the
-# grouped math is pinned in interpret mode either way
-# (tests/test_pallas_attention.py::TestGroupedHeadsAttention and the
-# stblock-train gradient parities run with both settings).
-ATTN_GROUP = None
+# while being ~1% of its FLOPs; on-chip ladder (campaign_r5/
+# attn_group_ladder.log, one window): spatial x5 fwd+grad 16.57 ms
+# per-head -> 14.24 ms at group=4/chunk=136 (group 2/8 and chunk 272
+# all worse), temporal x5 17.33 -> 15.33 ms. None = per-head
+# (ablation/fallback seam); parity of both settings is pinned by
+# tests/test_pallas_attention.py::TestGroupedHeadsAttention and the
+# stblock-train grouped gradient parities.
+ATTN_GROUP = 4
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 _LN_EPS = 1e-5

@@ -79,6 +79,11 @@ class TestDetectorTraining:
         assert int(state.step) == cfg.n_steps
         assert np.isfinite(trained_px)
         assert trained_px < init_px, (trained_px, init_px)
+        # quantified bound: 16 CPU steps at this config demonstrated
+        # 8.6 px eval error (and 600 chip steps reach 2.9 px @256,
+        # experiments/campaign_r5/train_detector_bench.log) — 16 px is
+        # ~2x margin over the demonstrated value, 2x tighter than init
+        assert trained_px < SIZE / 4, trained_px
         # checkpoint written with the metadata the pipeline CLI reads
         from pose3d_tpu.train import checkpoint as ckpt
 
@@ -116,6 +121,9 @@ class TestRealDetectionPipeline:
         assert det2d.shape == (8, 17, 2)
         err_px = np.linalg.norm(det2d / 1000.0 - gt2d, axis=-1).mean() * SIZE
         assert np.isfinite(err_px)
-        # sanity ceiling: anything under half the image width means the
-        # detector is reading pixels, not guessing a constant corner
-        assert err_px < SIZE / 2, err_px
+        # demonstrated bound: this 16-step config reaches ~8.6 px eval
+        # error on clean frames; SIZE/4 = 16 px leaves ~2x margin for the
+        # mp4 encode/decode round-trip the video path adds (the chip
+        # record after 600 steps is 2.88 px @256 —
+        # experiments/campaign_r5/train_detector_bench.log)
+        assert err_px < SIZE / 4, err_px

@@ -161,6 +161,7 @@ class TestDPDirectShardMap:
         GSPMD path cannot express."""
         self._parity(True, rng, image=64)
 
+    @pytest.mark.slow
     def test_skewed_shards_local_bn_contract(self, devices, rng):
         """Distinct shards: the step runs (finite metrics, params move) and
         the averaged running stats differ from the global-batch oracle's —

@@ -47,9 +47,18 @@ order (lifting -> direct -> temporal train -> temporal infer -> flip ->
 e2e), a CUMULATIVE headline JSON line is printed after EVERY workload (a
 timeout kill leaves the latest complete line in the tail — the last JSON
 line on stdout is always the freshest full record), and the whole run sits
-under an internal time budget (BENCH_BUDGET_S, default 840 s): workloads
+under an internal time budget (BENCH_BUDGET_S, default 1080 s): workloads
 that would overrun are skipped with a marker instead of eating the
 driver's timeout.
+
+Lean mode: comparison configs are sacrificed BEFORE workload coverage.
+A quiet-window full run costs ~1105 s (lifting 212, direct-both 286,
+temporal-train 180, temporal-infer-both 190, flip 45, e2e 193 — the
+2026-08-19 validation run), so when the remaining budget no longer covers
+a workload's full cost PLUS every downstream floor, the workload drops
+its non-headline comparison config (direct: the second epilogue;
+temporal train/infer: the XLA-apply timing) and records the skip. Six
+measured workloads with one config each beat four with two.
 """
 
 from __future__ import annotations
@@ -118,7 +127,7 @@ def _two_k_median(run1, run2, k1, k2, repeats=5):
     """
     run1()
     run2()
-    t1s, t2s, deltas = [], [], []
+    t1s, t2s = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run1()
@@ -126,15 +135,33 @@ def _two_k_median(run1, run2, k1, k2, repeats=5):
         t0 = time.perf_counter()
         run2()
         t2s.append(time.perf_counter() - t0)
-        deltas.append((t2s[-1] - t1s[-1]) / (k2 - k1))
+    return _median_estimate(t1s, t2s, k1, k2)
+
+
+def _median_estimate(t1s, t2s, k1, k2):
+    """Pure estimator math (unit-tested): median(t2) - median(t1) over the
+    K gap, falling back to the raw K2 upper bound when >half the K1 trials
+    are contention-spiked (the configuration where BENCH_r04's per-trial
+    differences went to -1124 ms)."""
+    deltas = [(b - a) / (k2 - k1) for a, b in zip(t1s, t2s)]
     t1m, t2m = float(np.median(t1s)), float(np.median(t2s))
     per = (t2m - t1m) / (k2 - k1)
     if per <= 0:  # >half the K1 trials spiked; raw K2 upper bound
         per = t2m / k2
     q1, q3 = np.percentile(deltas, [25, 75])
-    disp = {"estimator": f"median_of_{repeats}_two_k",
+    disp = {"estimator": f"median_of_{len(t1s)}_two_k",
             "delta_iqr_ms": [round(q1 * 1e3, 2), round(q3 * 1e3, 2)]}
     return per, t1m, t2m, deltas, disp
+
+
+def _lean_decision(remaining_s, full_cost, downstream_floors, override=None):
+    """Drop a workload's comparison config when the remaining budget no
+    longer covers its full two-config cost plus every downstream
+    workload's lean floor. override: BENCH_LEAN env ("1" forces lean,
+    "0" forces full comparisons)."""
+    if override is not None:
+        return override == "1"
+    return remaining_s < full_cost + downstream_floors
 
 
 # --------------------------------------------------------------------------
@@ -272,8 +299,7 @@ def cpu_reference_throughput() -> float:
     cache_key = f"torch{torch.__version__}-b{CPU_BATCH}i{CPU_ITERS}"
     cached = _cpu_ref_cache_read(cache_key)
     if cached is not None:
-        _log(f"lifting cpu reference: {cached:,.0f} frames/s (cached)")
-        return cached
+        return cached  # main() logs the value (with no duplicate line)
 
     model = Lifter().eval()
     x = torch.rand(CPU_BATCH, 17, 2)
@@ -339,7 +365,14 @@ DIRECT_K1, DIRECT_K2 = 4, 12
 REF_1080TI_FPS = 500.0  # BASELINE.md: 6.3 s/epoch, 49 batches x 64 frames
 
 
-def tpu_direct_train_throughput():
+def tpu_direct_train_throughput(both_epilogues=True):
+    """both_epilogues=False is lean mode: time only the fused conv+decode
+    epilogue (the round-4 flagship kernel; the winner of the freshest
+    driver-methodology record, campaign_r5/bench_final 38.47 vs 61.39 ms)
+    with the XLA epilogue as the exception fallback. The two epilogues
+    measured within co-tenancy noise of each other across windows
+    (ROUND5_NOTES), so the skipped comparison costs no information the
+    repo doesn't already have on record."""
     import jax
     import jax.numpy as jnp
 
@@ -391,6 +424,25 @@ def tpu_direct_train_throughput():
              f"{disp}, iqr {disp_stats['delta_iqr_ms']})")
         return per_step, fl, disp, disp_stats
 
+    if not both_epilogues:
+        # lean mode: one config only — fused first, XLA on Mosaic failure
+        try:
+            per_step, fl, disp, disp_stats = measure(True)
+            extra = {"fused_epilogue_ms": round(per_step * 1e3, 2),
+                     "fused_step_ms_samples": disp, "epilogue": "fused",
+                     "xla_epilogue_ms": "skipped (budget lean mode)",
+                     **disp_stats}
+        except Exception as e:  # noqa: BLE001 — fall back, don't kill bench
+            _log(f"direct fused-epilogue attempt failed: {type(e).__name__}"
+                 f": {str(e)[:200]}")
+            per_step, fl, disp, disp_stats = measure(False)
+            extra = {"xla_epilogue_ms": round(per_step * 1e3, 2),
+                     "step_ms_samples": disp, "epilogue": "xla",
+                     "fused_epilogue_ms": None, **disp_stats}
+        mfu = _mfu_fields(fl, per_step)
+        mfu.update(extra)
+        return DIRECT_B / per_step, mfu
+
     per_step, fl, disp, disp_stats = measure(False)
     extra = {"xla_epilogue_ms": round(per_step * 1e3, 2),
              "step_ms_samples": disp, "epilogue": "xla", **disp_stats}
@@ -421,7 +473,12 @@ TEMPORAL_B = 8
 TEMPORAL_K1, TEMPORAL_K2 = 4, 12
 
 
-def tpu_temporal_train_throughput():
+def tpu_temporal_train_throughput(compare_xla=True):
+    """compare_xla=False is lean mode: time only the fused-kernel path
+    (the benchmarked workload). The XLA apply is still COMPILED once at K1
+    — its cost-model body count is the only honest FLOP figure for the
+    fused path's MFU (the cost model can't see into custom calls) — but
+    its two-K timing (a second compile + 7 repeats) is skipped."""
     import jax
     import jax.numpy as jnp
 
@@ -472,19 +529,29 @@ def tpu_temporal_train_throughput():
     # plain XLA apply measured alongside for the win factor
     fused_state = state.replace(apply_fn=make_fused_train_apply())
     fused_step, fused_fl = measure(fused_state, "fused")
-    xla_step, xla_fl = measure(state, "xla")
-    # the fused path IS the benchmarked workload — report it as the
-    # headline even if it regresses below XLA (min() would silently mask
-    # a kernel regression as ~1.0x); xla_frames_per_s stays in extra
     per_step = fused_step
-    if xla_step < fused_step:
-        _log(f"WARNING: fused temporal train step ({fused_step*1e3:.1f} ms)"
-             f" slower than XLA ({xla_step*1e3:.1f} ms) — kernel regression")
+    if compare_xla:
+        xla_step, xla_fl = measure(state, "xla")
+        # the fused path IS the benchmarked workload — report it as the
+        # headline even if it regresses below XLA (min() would silently
+        # mask a kernel regression as ~1.0x); xla_frames_per_s is in extra
+        if xla_step < fused_step:
+            _log(f"WARNING: fused temporal train step "
+                 f"({fused_step*1e3:.1f} ms) slower than XLA "
+                 f"({xla_step*1e3:.1f} ms) — kernel regression")
+        fl = xla_fl
+        xla_fps = round(TEMPORAL_B * t / xla_step, 1)
+    else:
+        # one K1 compile of the plain apply, flops only (no timing)
+        y1 = jnp.zeros((TEMPORAL_K1, TEMPORAL_B, t, 17, 2), jnp.float32)
+        y2 = jnp.zeros((TEMPORAL_K1, TEMPORAL_B, t, 17, 3), jnp.float32)
+        fl = _flops(make_lifter_epoch_fn(donate=False).lower(
+            state, y1, y2, jax.random.key(1)).compile())
+        xla_fps = "skipped (budget lean mode)"
     # the cost model can't see into the custom calls of the fused path —
     # use the XLA body count (identical math) for its MFU
-    fl = xla_fl
     mfu = _mfu_fields(fl, per_step)
-    mfu["xla_frames_per_s"] = round(TEMPORAL_B * t / xla_step, 1)
+    mfu["xla_frames_per_s"] = xla_fps
     mfu["fused_frames_per_s"] = round(TEMPORAL_B * t / fused_step, 1)
     return TEMPORAL_B * t / per_step, mfu
 
@@ -497,7 +564,10 @@ TI_B = 16
 TI_K1, TI_K2 = 8, 24
 
 
-def tpu_temporal_infer_throughput():
+def tpu_temporal_infer_throughput(compare_xla=True):
+    """compare_xla=False is lean mode: skip the plain-XLA apply timing
+    (two compiles + a two-K chain) and report only the fused serving
+    forward — the path the pipeline actually runs."""
     import jax
     import jax.numpy as jnp
 
@@ -541,6 +611,8 @@ def tpu_temporal_infer_throughput():
     # megakernel + per-sequence temporal attention, the pipeline/lift path)
     pallas_iter = measure(lambda p, kp: temporal_forward_fused(p, kp),
                           "fused")
+    if not compare_xla:
+        return TI_B * t / pallas_iter, None
     xla_iter = measure(
         lambda p, kp: xla_model.apply({"params": p}, kp), "xla")
     return TI_B * t / pallas_iter, TI_B * t / xla_iter
@@ -825,10 +897,13 @@ def _init_backend_or_die(timeout_s: int = 600):
         except Exception as e:  # noqa: BLE001
             result["error"] = f"{type(e).__name__}: {e}"
 
-    if os.environ.get("BENCH_COMPILE_CACHE"):
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") != "0":
         # persistent executable cache: repeated driver runs skip the
-        # ~20-40 s/executable tunnel compiles (opt-in until proven against
-        # the axon remote-compile backend)
+        # ~20-40 s/executable tunnel compiles. Default ON since round 5
+        # (BENCH_COMPILE_CACHE=0 opts out): caching only skips
+        # compilation — the timed executables are identical — and a
+        # cache-warm driver run fits every workload in FULL comparison
+        # mode instead of lean
         try:
             import jax
 
@@ -872,7 +947,9 @@ def main():
     import os
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "840"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1080"))
+    # BENCH_LEAN=1 forces lean mode everywhere; =0 forces full comparisons
+    lean_override = os.environ.get("BENCH_LEAN")
     _init_backend_or_die()
 
     def remaining():
@@ -896,12 +973,14 @@ def main():
             "xla_apply_frames_per_s": round(xla_fps, 1),
             "config": "fused Pallas whole-trunk kernel, B=8192 bf16",
             **lift_mfu,
+            "workload_s": round(time.perf_counter() - t_start, 1),
         },
     }
     _emit(tpu_fps, cpu_fps, extra, t_start)
 
-    def direct():
-        direct_fps, direct_mfu = tpu_direct_train_throughput()
+    def direct(lean):
+        direct_fps, direct_mfu = tpu_direct_train_throughput(
+            both_epilogues=not lean)
         _log(f"direct train: {direct_fps:,.0f} frames/s {direct_mfu}")
         return {
             "frames_per_s": round(direct_fps, 1),
@@ -910,8 +989,9 @@ def main():
             **direct_mfu,
         }
 
-    def temporal_train():
-        temporal_fps, temporal_mfu = tpu_temporal_train_throughput()
+    def temporal_train(lean):
+        temporal_fps, temporal_mfu = tpu_temporal_train_throughput(
+            compare_xla=not lean)
         _log(f"temporal train: {temporal_fps:,.0f} frames/s {temporal_mfu}")
         return {
             "frames_per_s": round(temporal_fps, 1),
@@ -920,19 +1000,21 @@ def main():
             **temporal_mfu,
         }
 
-    def temporal_infer():
-        ti_fps, ti_xla_fps = tpu_temporal_infer_throughput()
+    def temporal_infer(lean):
+        ti_fps, ti_xla_fps = tpu_temporal_infer_throughput(
+            compare_xla=not lean)
         _log(f"temporal infer: {ti_fps:,.0f} frames/s "
-             f"(xla {ti_xla_fps:,.0f})")
+             f"(xla {ti_xla_fps or 0:,.0f})")
         return {
             "frames_per_s": round(ti_fps, 1),
-            "xla_apply_frames_per_s": round(ti_xla_fps, 1),
+            "xla_apply_frames_per_s": (round(ti_xla_fps, 1) if ti_xla_fps
+                                       else "skipped (budget lean mode)"),
             "vs_baseline": None,  # reference: external MotionBERT, no number
             "config": "243-frame serving, fused spatial+temporal "
                       "sub-block kernels, B=16 bf16",
         }
 
-    def flip():
+    def flip(lean):
         flip_fps, flip_mfu = tpu_flip_lift_throughput()
         _log(f"flip lift: {flip_fps:,.0f} frames/s {flip_mfu}")
         return {
@@ -945,7 +1027,7 @@ def main():
             **flip_mfu,
         }
 
-    def e2e():
+    def e2e(lean):
         e2e_fps, e2e_extra = tpu_e2e_video_throughput()
         return {
             "video_frames_per_s": round(e2e_fps, 1),
@@ -961,17 +1043,23 @@ def main():
 
     # scoreboard order with conservative cost floors (compile time through
     # the tunnel dominates); a workload only starts if it plausibly fits —
-    # better an explicit "skipped" marker than the driver's rc=124
-    # floors are measured one-chip costs (2026-08-19 run: lifting 212 s,
-    # direct 286 s, temporal-infer 190 s, flip 45 s, e2e 190 s)
+    # better an explicit "skipped" marker than the driver's rc=124.
+    # (name, fn, lean-mode floor, full-mode cost) — measured one-chip
+    # quiet-window costs (2026-08-19 validation run: lifting 212 s,
+    # direct-both 286 s, temporal-train-both ~260 s, temporal-infer-both
+    # 190 s, flip 45 s, e2e 193 s; lean mode halves the two-config ones)
     workloads = [
-        ("direct_train", direct, 250.0),
-        ("temporal_train", temporal_train, 180.0),
-        ("temporal_infer", temporal_infer, 150.0),
-        ("flip_lift", flip, 45.0),
-        ("e2e_video", e2e, 150.0),
+        ("direct_train", direct, 160.0, 290.0),
+        ("temporal_train", temporal_train, 180.0, 260.0),
+        ("temporal_infer", temporal_infer, 100.0, 190.0),
+        ("flip_lift", flip, 45.0, 45.0),
+        ("e2e_video", e2e, 150.0, 150.0),
     ]
-    for name, fn, cost_floor in workloads:
+
+    def floors_after(i):
+        return sum(w[2] for w in workloads[i + 1:])
+
+    for i, (name, fn, cost_floor, full_cost) in enumerate(workloads):
         if remaining() < cost_floor:
             _log(f"{name} SKIPPED: {remaining():.0f}s of {budget_s:.0f}s "
                  f"budget left < {cost_floor:.0f}s floor")
@@ -979,11 +1067,21 @@ def main():
                                       f"left < {cost_floor:.0f}s floor)"}
             _emit(tpu_fps, cpu_fps, extra, t_start)
             continue
+        # lean mode: drop this workload's comparison config unless the
+        # remaining budget covers its FULL cost plus every downstream floor
+        lean = _lean_decision(remaining(), full_cost, floors_after(i),
+                              lean_override)
+        if lean and full_cost > cost_floor:
+            _log(f"{name}: LEAN mode ({remaining():.0f}s left < "
+                 f"{full_cost:.0f}s full cost + {floors_after(i):.0f}s "
+                 f"downstream floors) — comparison config skipped")
+        t_wl = time.perf_counter()
         try:
-            extra[name] = fn()
+            extra[name] = fn(lean)
         except Exception as e:  # noqa: BLE001 — headline must still print
             _log(f"{name} bench FAILED: {type(e).__name__}: {e}")
             extra[name] = {"error": str(e)[:200]}
+        extra[name]["workload_s"] = round(time.perf_counter() - t_wl, 1)
         _emit(tpu_fps, cpu_fps, extra, t_start)
 
 

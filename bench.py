@@ -25,11 +25,15 @@ workloads nested under "extra". Human-readable logs go to stderr.
 Methodology (important on this tunneled-TPU environment):
 - ``block_until_ready`` does NOT fence execution through the axon tunnel and
   per-call dispatch costs tens of ms, so per-call timing loops measure
-  nothing. Every workload is iterated ON DEVICE inside a ``lax.scan`` (each
-  iteration depends on the previous, so no step can be elided), fenced by
-  materializing a scalar to host.
-- Two scan lengths K1 < K2 are timed; per-iteration time is
+  nothing. Every workload is iterated ON DEVICE inside a ``lax.fori_loop``
+  (each iteration depends on the previous, so no step can be elided),
+  fenced by materializing a scalar to host.
+- Two trip counts K1 < K2 are timed; per-iteration time is
   (t2 - t1) / (K2 - K1): tunnel round-trip and constant overhead cancel.
+  Since round 5 the chain takes the trip count as a RUNTIME scalar
+  (``lax.fori_loop`` with a traced bound), so ONE compiled executable
+  serves both K values — half the compile cost of the old per-K ``scan``
+  chains, and the K1/K2 delta is guaranteed to compare identical code.
 - Estimator (round 5): MEDIAN over repeats, computed as
   (median(t2 trials) - median(t1 trials)) / (K2 - K1). The donor chip is
   co-tenanted with one-sided contention spikes; best-of-N measured the
@@ -38,7 +42,7 @@ Methodology (important on this tunneled-TPU environment):
   separately are robust unless >half the trials of a chain are spiked;
   the per-trial deltas are still reported as the dispersion record.
 - FLOPs come from XLA's own cost model (compiled.cost_analysis()); the cost
-  model counts a scan body once regardless of trip count, so the body count
+  model counts a loop body once regardless of trip count, so the body count
   IS the per-iteration figure. MFU is reported against the v5e bf16 MXU
   peak.
 
@@ -52,13 +56,22 @@ that would overrun are skipped with a marker instead of eating the
 driver's timeout.
 
 Lean mode: comparison configs are sacrificed BEFORE workload coverage.
-A quiet-window full run costs ~1105 s (lifting 212, direct-both 286,
-temporal-train 180, temporal-infer-both 190, flip 45, e2e 193 — the
-2026-08-19 validation run), so when the remaining budget no longer covers
-a workload's full cost PLUS every downstream floor, the workload drops
-its non-headline comparison config (direct: the second epilogue;
-temporal train/infer: the XLA-apply timing) and records the skip. Six
-measured workloads with one config each beat four with two.
+When the remaining budget no longer covers a workload's full cost PLUS
+every downstream floor, the workload drops its non-headline comparison
+config (direct: the second epilogue; temporal train/infer: the XLA-apply
+timing) and records the skip. Six measured workloads with one config each
+beat four with two. The lifting workload's own XLA-apply comparison — the
+single costliest cold compile in the bench — is DEFERRED to after the
+last workload and only runs on leftover budget.
+
+Cost structure (2026-08-20 validation, single-chip): cold compile cache
+-> 979 s for all six workloads + every comparison except lifting-XLA
+(lifting-fused ~300, direct-both 169, temporal-train-both 247,
+temporal-infer-both 99, flip 20, e2e 144); warm cache -> ~380 s for
+everything. The persistent executable cache (logs/jax_cache, anchored to
+this file's directory, BENCH_COMPILE_CACHE=0 opts out) only skips
+compilation — the timed executables are identical — so repeated driver
+runs converge to the warm cost.
 """
 
 from __future__ import annotations
@@ -86,15 +99,6 @@ def _flops(compiled):
         return float(ca["flops"])
     except Exception:
         return None
-
-
-def _per_iter_flops(f1, f2):
-    """XLA's cost model counts a while/scan body ONCE regardless of trip
-    count (verified: flops(K=3) == flops(K=10) to within epilogue noise), so
-    the per-iteration FLOPs are just the body count — take the smaller of
-    the two compiles to shave the epilogue."""
-    vals = [f for f in (f1, f2) if f]
-    return min(vals) if vals else None
 
 
 def _mfu_fields(flops_per_iter, per_iter_s):
@@ -168,20 +172,55 @@ def _lean_decision(remaining_s, full_cost, downstream_floors, override=None):
 # 1. lifting inference (headline)
 # --------------------------------------------------------------------------
 
-def _lift_chain(apply_fn, k):
+def _lift_chain(apply_fn):
+    """Inference chain with a RUNTIME trip count: chain(params, kp, k)
+    fori_loops k data-dependent forwards (next input derives from the
+    previous output, so no iteration can be elided) and returns a scalar
+    sample for the host-materialization fence. One compile serves every k."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
-    def chain(params, kp):
-        def body(kp, _):
+    def chain(params, kp, k):
+        def body(_, carry):
+            kp, _s = carry
             out = apply_fn(params, kp)
-            # data dependence: next input derives from this output
-            return kp + out[..., :2] * 1e-3, out[0, 0, 0]
+            return (kp + out[..., :2] * 1e-3,
+                    out.reshape(-1)[0].astype(jnp.float32))
 
-        kp, samples = lax.scan(body, kp, None, length=k)
-        return kp, samples[-1]
+        kp, sample = lax.fori_loop(
+            0, k, body, (kp, jnp.float32(0.0)))
+        return kp, sample
 
     return chain
+
+
+def _compile_chain(chain, *args, label=None):
+    """Lower+compile a dynamic-K chain once and return a fenced runner
+    factory: runner(k)() executes the SAME executable with trip count k and
+    blocks on a host-materialized scalar (block_until_ready does not fence
+    through the axon tunnel). XLA's cost model counts the loop body ONCE
+    regardless of trip count (verified: flops(K=3) == flops(K=10) to within
+    epilogue noise), so ``_flops(compiled)`` is the per-iteration figure."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    compiled = jax.jit(chain).lower(*args, jnp.int32(1)).compile()
+    if label:
+        _log(f"compile[{label}]: {time.perf_counter() - t0:.1f}s")
+
+    def runner(k):
+        karr = jnp.int32(k)
+
+        def run():
+            out = compiled(*args, karr)
+            s = out[-1] if isinstance(out, tuple) else out
+            return float(s)
+
+        return run
+
+    return compiled, runner
 
 
 def _lifter_flops_per_frame():
@@ -197,6 +236,12 @@ def _lifter_flops_per_frame():
 
 
 def tpu_lifting_throughput():
+    """Measure the headline fused-trunk lifting throughput. Returns
+    (fused_fps, mfu_fields, measure_xla) — ``measure_xla()`` times the
+    plain-XLA-apply comparison chain and is DEFERRED by main() to the very
+    end of the run: its ~4-minute cold compile is the single biggest cold
+    cost in the bench, and it informs only the kernel's win factor, never
+    the scoreboard value (VERDICT r4 item 1: coverage before comparisons)."""
     import jax
     import jax.numpy as jnp
 
@@ -216,29 +261,24 @@ def tpu_lifting_throughput():
     pe = sinusoidal_positional_embeddings(17, 256)
 
     def measure(apply_fn, label):
-        c1 = jax.jit(_lift_chain(apply_fn, K1)).lower(params, x).compile()
-        c2 = jax.jit(_lift_chain(apply_fn, K2)).lower(params, x).compile()
-
-        def fenced(c):
-            def run():
-                _, s = c(params, x)
-                return float(s)  # host materialization: the reliable fence
-            return run
-
-        per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), K1, K2,
+        _, runner = _compile_chain(_lift_chain(apply_fn), params, x,
+                                   label=f"lifting:{label}")
+        per_iter, t1, t2 = _two_k(runner(K1), runner(K2), K1, K2,
                                   repeats=5 if label == "fused" else 3)
         _log(f"lifting[{label}]: K{K1} {t1*1e3:.0f} ms, K{K2} {t2*1e3:.0f} ms"
              f" -> {per_iter*1e3:.3f} ms/iter (RTT cancelled)")
         return per_iter
 
-    # headline: the fused Pallas trunk (the production serving path);
-    # the plain XLA apply is reported alongside for the kernel's win factor
+    # headline: the fused Pallas trunk (the production serving path)
     fused_iter = measure(
         lambda p, kp: lifter_forward_fused(p, kp, pe=pe), "fused")
-    xla_iter = measure(
-        lambda p, kp: model.apply({"params": p}, kp, train=False), "xla")
     mfu = _mfu_fields(_lifter_flops_per_frame() * BATCH, fused_iter)
-    return BATCH / fused_iter, BATCH / xla_iter, mfu
+
+    def measure_xla():
+        return BATCH / measure(
+            lambda p, kp: model.apply({"params": p}, kp, train=False), "xla")
+
+    return BATCH / fused_iter, mfu, measure_xla
 
 
 CPU_BATCH = 512
@@ -319,7 +359,11 @@ def cpu_reference_throughput() -> float:
     return fps
 
 
-_CPU_REF_CACHE = "logs/cpu_ref_cache.json"
+import os as _os
+
+_CPU_REF_CACHE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "logs",
+    "cpu_ref_cache.json")  # file-anchored, not cwd-relative (see cache note)
 
 
 def _cpu_ref_cache_read(key):
@@ -339,7 +383,7 @@ def _cpu_ref_cache_write(key, fps):
     try:
         import os
 
-        os.makedirs("logs", exist_ok=True)
+        os.makedirs(os.path.dirname(_CPU_REF_CACHE), exist_ok=True)
         data = {}
         try:
             with open(_CPU_REF_CACHE) as f:
@@ -377,11 +421,13 @@ def tpu_direct_train_throughput(both_epilogues=True):
     import jax.numpy as jnp
 
     from pose3d_tpu.models.heads import PoseNet3D
-    from pose3d_tpu.train.image_steps import make_direct_chunk_step
+    from pose3d_tpu.train.image_steps import make_direct_train_step
     from pose3d_tpu.train.state import create_train_state
 
     rng = np.random.default_rng(0)
-    step = make_direct_chunk_step(donate=True)
+    # single-batch step (donate=False: the chain's carry owns the evolving
+    # state; the caller-held buffers stay valid across repeated calls)
+    single_step = make_direct_train_step(donate=False)
 
     def measure(fuse):
         model = PoseNet3D(return_heatmap=False, use_pallas=True,
@@ -390,24 +436,26 @@ def tpu_direct_train_throughput(both_epilogues=True):
             model, jax.random.key(0), jnp.zeros((DIRECT_B, 256, 256, 3)),
             lr=1e-3,
         )
-        compiled = {}
+        frames = jnp.asarray(rng.integers(
+            0, 256, (DIRECT_K2, DIRECT_B, 256, 256, 3), dtype=np.uint8))
+        kp = jnp.asarray(
+            rng.random((DIRECT_K2, DIRECT_B, 17, 3), np.float32) - 0.5)
 
-        def runner(k):
-            frames = jnp.asarray(rng.integers(
-                0, 256, (k, DIRECT_B, 256, 256, 3), dtype=np.uint8))
-            kp = jnp.asarray(rng.random((k, DIRECT_B, 17, 3), np.float32)
-                             - 0.5)
-            key = jax.random.key(1)
-            compiled[k] = step.lower(state, frames, kp, key).compile()
+        def chain(st, frames, kp, key, k):
+            rngs = jax.random.split(key, DIRECT_K2)
 
-            def run():
-                # fresh buffers per call so donation can't invalidate
-                # state; the copy is one constant per call -> cancels
-                st = jax.tree_util.tree_map(lambda x: x.copy(), state)
-                _, m = compiled[k](st, frames, kp, key)
-                return float(m["loss"])
+            def body(i, carry):
+                st, _ = carry
+                st, m = single_step(st, frames[i], kp[i], rngs[i])
+                return st, m["loss"].astype(jnp.float32)
 
-            return run
+            _, loss = jax.lax.fori_loop(
+                0, k, body, (st, jnp.float32(0.0)))
+            return loss
+
+        compiled, runner = _compile_chain(
+            chain, state, frames, kp, jax.random.key(1),
+            label=f"direct:{'fused' if fuse else 'xla'}")
 
         # median-of-9 against chip co-tenancy (VERDICT r4 item 1): the
         # driver number is the reproducible middle of the distribution,
@@ -416,8 +464,7 @@ def tpu_direct_train_throughput(both_epilogues=True):
             runner(DIRECT_K1), runner(DIRECT_K2), DIRECT_K1, DIRECT_K2,
             repeats=9,
         )
-        fl = _per_iter_flops(_flops(compiled[DIRECT_K1]),
-                             _flops(compiled[DIRECT_K2]))
+        fl = _flops(compiled)
         disp = [round(s * 1e3, 2) for s in samples]
         _log(f"direct ({'fused' if fuse else 'xla'} epilogue): median "
              f"{per_step*1e3:.2f} ms/step (9 two-K repeats, deltas ms: "
@@ -484,8 +531,8 @@ def tpu_temporal_train_throughput(compare_xla=True):
 
     from pose3d_tpu.models.temporal import TemporalLifter
     from pose3d_tpu.ops.pallas_stblock_train import make_fused_train_apply
-    from pose3d_tpu.train.epoch import make_lifter_epoch_fn
     from pose3d_tpu.train.state import create_train_state
+    from pose3d_tpu.train.steps import make_lifter_train_step
 
     rng = np.random.default_rng(0)
     model = TemporalLifter(dtype=jnp.bfloat16)
@@ -493,36 +540,38 @@ def tpu_temporal_train_throughput(compare_xla=True):
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((TEMPORAL_B, t, 17, 2)), lr=1e-3,
     )
+    single_step = make_lifter_train_step(donate=False)
+    y1 = jnp.asarray(
+        rng.random((TEMPORAL_K2, TEMPORAL_B, t, 17, 2), np.float32))
+    y2 = jnp.asarray(
+        rng.random((TEMPORAL_K2, TEMPORAL_B, t, 17, 3), np.float32) - 0.5)
 
     def measure(st, label):
-        epoch_fn = make_lifter_epoch_fn(donate=False)
-        compiled = {}
+        def chain(st, y1, y2, key, k):
+            rngs = jax.random.split(key, TEMPORAL_K2)
 
-        def runner(k):
-            y1 = jnp.asarray(
-                rng.random((k, TEMPORAL_B, t, 17, 2), np.float32))
-            y2 = jnp.asarray(
-                rng.random((k, TEMPORAL_B, t, 17, 3), np.float32) - 0.5)
-            key = jax.random.key(1)
-            compiled[k] = epoch_fn.lower(st, y1, y2, key).compile()
+            def body(i, carry):
+                st, _ = carry
+                st, m = single_step(st, y1[i], y2[i], rngs[i])
+                return st, m["loss"].astype(jnp.float32)
 
-            def run():
-                _, m = compiled[k](st, y1, y2, key)
-                return float(m["loss"])
+            _, loss = jax.lax.fori_loop(
+                0, k, body, (st, jnp.float32(0.0)))
+            return loss
 
-            return run
+        compiled, runner = _compile_chain(
+            chain, st, y1, y2, jax.random.key(1), label=f"temporal:{label}")
 
         # median-of-7: the same chip-co-tenancy defense as direct_train —
         # measured spread on this step is 30.6..37.1 ms across windows
         per_step, t1, t2, samples, disp_stats = _two_k_median(
             runner(TEMPORAL_K1), runner(TEMPORAL_K2),
             TEMPORAL_K1, TEMPORAL_K2, repeats=7)
-        f1, f2 = _flops(compiled[TEMPORAL_K1]), _flops(compiled[TEMPORAL_K2])
         _log(f"temporal[{label}]: median {per_step*1e3:.2f} ms/step "
              f"(7 two-K repeats, deltas ms: "
              f"{[round(s*1e3, 2) for s in samples]}, "
              f"iqr {disp_stats['delta_iqr_ms']})")
-        return per_step, _per_iter_flops(f1, f2)
+        return per_step, _flops(compiled)
 
     # headline: fused Pallas fwd+bwd sub-block kernels (remat-in-kernel,
     # dW accumulated across grid cells) — the round-3 training kernel;
@@ -542,11 +591,10 @@ def tpu_temporal_train_throughput(compare_xla=True):
         fl = xla_fl
         xla_fps = round(TEMPORAL_B * t / xla_step, 1)
     else:
-        # one K1 compile of the plain apply, flops only (no timing)
-        y1 = jnp.zeros((TEMPORAL_K1, TEMPORAL_B, t, 17, 2), jnp.float32)
-        y2 = jnp.zeros((TEMPORAL_K1, TEMPORAL_B, t, 17, 3), jnp.float32)
-        fl = _flops(make_lifter_epoch_fn(donate=False).lower(
-            state, y1, y2, jax.random.key(1)).compile())
+        # one compile of the plain-apply SINGLE step, flops only (no
+        # timing) — the only honest FLOP figure for the fused path's MFU
+        fl = _flops(single_step.lower(
+            state, y1[0], y2[0], jax.random.key(1)).compile())
         xla_fps = "skipped (budget lean mode)"
     # the cost model can't see into the custom calls of the fused path —
     # use the XLA body count (identical math) for its MFU
@@ -583,27 +631,10 @@ def tpu_temporal_infer_throughput(compare_xla=True):
     )(jax.random.key(0), x)["params"]
 
     def measure(apply_fn, label):
-        def chain(k):
-            def f(p, xx):
-                def body(kp, _):
-                    out = apply_fn(p, kp)
-                    return kp + out[..., :2] * 1e-3, out[0, 0, 0, 0]
-
-                kp, s = jax.lax.scan(body, xx, None, length=k)
-                return kp, s[-1]
-
-            return jax.jit(f)
-
-        c1 = chain(TI_K1).lower(params, x).compile()
-        c2 = chain(TI_K2).lower(params, x).compile()
-
-        def fenced(c):
-            def run():
-                _, s = c(params, x)
-                return float(s)
-            return run
-
-        per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), TI_K1, TI_K2)
+        _, runner = _compile_chain(_lift_chain(apply_fn), params, x,
+                                   label=f"temporal_infer:{label}")
+        per_iter, t1, t2 = _two_k(runner(TI_K1), runner(TI_K2),
+                                  TI_K1, TI_K2)
         _log(f"temporal_infer[{label}]: {per_iter*1e3:.2f} ms/iter")
         return per_iter
 
@@ -653,16 +684,9 @@ def tpu_flip_lift_throughput():
         out = lifter_forward_fused(p, kp2, pe=pe)
         return (out[:FLIP_B] + flip_pose(out[FLIP_B:])) / 2.0
 
-    c1 = jax.jit(_lift_chain(flip_apply, K1)).lower(params, x).compile()
-    c2 = jax.jit(_lift_chain(flip_apply, K2)).lower(params, x).compile()
-
-    def fenced(c):
-        def run():
-            _, s = c(params, x)
-            return float(s)
-        return run
-
-    per_iter, t1, t2 = _two_k(fenced(c1), fenced(c2), K1, K2)
+    _, runner = _compile_chain(_lift_chain(flip_apply), params, x,
+                               label="flip")
+    per_iter, t1, t2 = _two_k(runner(K1), runner(K2), K1, K2)
     _log(f"flip_lift: {per_iter*1e3:.3f} ms/iter "
          f"({FLIP_B} frames x2 forwards)")
     # 2x the model FLOPs per output frame (both flip branches are real work)
@@ -903,14 +927,21 @@ def _init_backend_or_die(timeout_s: int = 600):
         # (BENCH_COMPILE_CACHE=0 opts out): caching only skips
         # compilation — the timed executables are identical — and a
         # cache-warm driver run fits every workload in FULL comparison
-        # mode instead of lean
+        # mode instead of lean. The dir is anchored to THIS FILE (not the
+        # cwd): the first round-5 campaign runs wrote their cache wherever
+        # the launcher happened to cd, so every run stayed cold.
         try:
             import jax
 
-            jax.config.update("jax_compilation_cache_dir",
-                              "logs/jax_cache")
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "logs", "jax_cache")
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
+            n = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
+            _log(f"compile cache: {cache_dir} ({n} entries "
+                 f"{'— warm' if n else '— cold'})")
         except Exception as e:  # noqa: BLE001
             _log(f"compile cache unavailable: {e}")
 
@@ -956,13 +987,13 @@ def main():
         return budget_s - (time.perf_counter() - t_start)
 
     try:
-        tpu_fps, xla_fps, lift_mfu = tpu_lifting_throughput()
+        tpu_fps, lift_mfu, measure_lift_xla = tpu_lifting_throughput()
     except Exception as e:  # noqa: BLE001 — one JSON line no matter what
         _log(f"lifting bench FAILED: {type(e).__name__}: {e}")
         _fail_headline(f"lifting workload failed: {type(e).__name__}: {e}")
         return
-    _log(f"lifting: {tpu_fps:,.0f} frames/s/chip (fused Pallas trunk; "
-         f"xla apply {xla_fps:,.0f}) {lift_mfu}")
+    _log(f"lifting: {tpu_fps:,.0f} frames/s/chip (fused Pallas trunk) "
+         f"{lift_mfu}")
     cpu_fps = cpu_reference_throughput()
     _log(f"lifting cpu reference: {cpu_fps:,.0f} frames/s")
 
@@ -970,7 +1001,8 @@ def main():
         "lifting_infer": {
             "frames_per_s": round(tpu_fps, 1),
             "vs_torch_cpu": round(tpu_fps / cpu_fps, 2),
-            "xla_apply_frames_per_s": round(xla_fps, 1),
+            # filled by the deferred comparison after every workload ran
+            "xla_apply_frames_per_s": "deferred",
             "config": "fused Pallas whole-trunk kernel, B=8192 bf16",
             **lift_mfu,
             "workload_s": round(time.perf_counter() - t_start, 1),
@@ -1044,16 +1076,17 @@ def main():
     # scoreboard order with conservative cost floors (compile time through
     # the tunnel dominates); a workload only starts if it plausibly fits —
     # better an explicit "skipped" marker than the driver's rc=124.
-    # (name, fn, lean-mode floor, full-mode cost) — measured one-chip
-    # quiet-window costs (2026-08-19 validation run: lifting 212 s,
-    # direct-both 286 s, temporal-train-both ~260 s, temporal-infer-both
-    # 190 s, flip 45 s, e2e 193 s; lean mode halves the two-config ones)
+    # (name, fn, lean-mode floor, full-mode cost) — measured COLD-cache
+    # one-chip costs (2026-08-20 validation, dynamic-K single-compile
+    # chains: lifting-fused ~300 s, direct-both 169 s, temporal-train-both
+    # 247 s, temporal-infer-both 99 s, flip 20 s, e2e 144 s; floors carry
+    # ~30% contention margin; a warm compile cache makes all of them loose)
     workloads = [
-        ("direct_train", direct, 160.0, 290.0),
-        ("temporal_train", temporal_train, 180.0, 260.0),
-        ("temporal_infer", temporal_infer, 100.0, 190.0),
-        ("flip_lift", flip, 45.0, 45.0),
-        ("e2e_video", e2e, 150.0, 150.0),
+        ("direct_train", direct, 120.0, 220.0),
+        ("temporal_train", temporal_train, 180.0, 320.0),
+        ("temporal_infer", temporal_infer, 70.0, 130.0),
+        ("flip_lift", flip, 30.0, 30.0),
+        ("e2e_video", e2e, 160.0, 160.0),
     ]
 
     def floors_after(i):
@@ -1083,6 +1116,29 @@ def main():
             extra[name] = {"error": str(e)[:200]}
         extra[name]["workload_s"] = round(time.perf_counter() - t_wl, 1)
         _emit(tpu_fps, cpu_fps, extra, t_start)
+
+    # deferred lifting comparison: the plain-XLA-apply chain's cold compile
+    # (~4 min) is the costliest single compile in the bench and informs only
+    # the fused kernel's win factor — it runs LAST, after every scoreboard
+    # workload is on the record, and only if the budget still covers it.
+    lift_xla_floor = 300.0
+    if remaining() >= lift_xla_floor:
+        try:
+            xla_fps = measure_lift_xla()
+            extra["lifting_infer"]["xla_apply_frames_per_s"] = round(
+                xla_fps, 1)
+            _log(f"lifting xla-apply comparison: {xla_fps:,.0f} frames/s "
+                 f"(fused kernel win {tpu_fps / xla_fps:.2f}x)")
+        except Exception as e:  # noqa: BLE001
+            _log(f"lifting xla comparison FAILED: {type(e).__name__}: {e}")
+            extra["lifting_infer"]["xla_apply_frames_per_s"] = (
+                f"error: {str(e)[:120]}")
+    else:
+        extra["lifting_infer"]["xla_apply_frames_per_s"] = (
+            f"skipped (time budget: {remaining():.0f}s left < "
+            f"{lift_xla_floor:.0f}s floor)")
+        _log(f"lifting xla comparison SKIPPED: {remaining():.0f}s left")
+    _emit(tpu_fps, cpu_fps, extra, t_start)
 
 
 if __name__ == "__main__":

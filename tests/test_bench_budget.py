@@ -9,9 +9,10 @@ These pin the two driver-record regressions on file:
   decision trades comparison configs for workload coverage.
 """
 
+import numpy as np
 import pytest
 
-from bench import _lean_decision, _median_estimate
+from bench import _compile_chain, _lean_decision, _lift_chain, _median_estimate
 
 
 class TestMedianEstimate:
@@ -50,6 +51,94 @@ class TestMedianEstimate:
         t2s = [0.600, 9.601, 0.599]
         per, _, _, _, _ = _median_estimate(t1s, t2s, 4, 12)
         assert per == pytest.approx(0.050, abs=1e-3)
+
+
+class TestDynamicKChain:
+    """CPU oracles for the round-5 single-executable two-K chains.
+
+    bench.py's dynamic trip counts (lax.fori_loop with a traced bound)
+    exist so K1 and K2 time the SAME compiled executable; these tests pin
+    that the chain actually computes the work it claims to time.
+    """
+
+    def test_lift_chain_matches_unrolled_iteration(self):
+        import jax.numpy as jnp
+
+        # apply = elementwise affine: exactly reproducible on host
+        def apply_fn(params, kp):
+            return kp * params + 0.25
+
+        params = jnp.float32(1.5)
+        x0 = np.linspace(-1.0, 1.0, 2 * 17 * 2).astype(np.float32)
+        x0 = x0.reshape(2, 17, 2)
+
+        _, runner = _compile_chain(_lift_chain(apply_fn), params,
+                                   jnp.asarray(x0))
+
+        def host_chain(k):
+            kp = x0.copy()
+            sample = 0.0
+            for _ in range(k):
+                out = kp * 1.5 + 0.25
+                kp = kp + out[..., :2] * 1e-3
+                sample = out.reshape(-1)[0]
+            return sample
+
+        # one executable must serve BOTH trip counts correctly — that is
+        # the whole point of the runtime-k design (identical code for the
+        # K1/K2 delta, half the cold compiles)
+        for k in (1, 3):
+            np.testing.assert_allclose(runner(k)(), host_chain(k),
+                                       rtol=1e-6)
+
+    def test_train_chain_matches_epoch_scan(self):
+        """bench's fori_loop-of-single-step train chain == the production
+        whole-epoch scan: same K2-stacked batches, same rng key, the
+        chain's returned loss must equal the scan's last-batch loss (the
+        chain must see every batch and thread the state through)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pose3d_tpu.models.temporal import TemporalLifter
+        from pose3d_tpu.train.epoch import make_lifter_epoch_fn
+        from pose3d_tpu.train.state import create_train_state
+        from pose3d_tpu.train.steps import make_lifter_train_step
+
+        b, t, k2 = 2, 4, 3
+        model = TemporalLifter(clip_len=t, n_blocks=1)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.zeros((b, t, 17, 2)), lr=1e-3)
+        rng = np.random.default_rng(0)
+        y1 = jnp.asarray(rng.random((k2, b, t, 17, 2), np.float32))
+        y2 = jnp.asarray(rng.random((k2, b, t, 17, 3), np.float32) - 0.5)
+        key = jax.random.key(1)
+
+        single_step = make_lifter_train_step(donate=False)
+
+        def chain(st, y1, y2, key, k):  # mirrors bench.py's train chains
+            rngs = jax.random.split(key, k2)
+
+            def body(i, carry):
+                st, _ = carry
+                st, m = single_step(st, y1[i], y2[i], rngs[i])
+                return st, m["loss"].astype(jnp.float32)
+
+            _, loss = jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
+            return loss
+
+        _, runner = _compile_chain(chain, state, y1, y2, key)
+
+        epoch_fn = make_lifter_epoch_fn(donate=False)
+        _, metrics = epoch_fn(state, y1, y2, key)
+
+        np.testing.assert_allclose(
+            runner(k2)(), float(metrics["last_batch_loss"]), rtol=1e-6)
+
+        # k=1 must run exactly one batch: equal to the single step's loss
+        _, m_one = single_step(state, y1[0], y2[0],
+                               jax.random.split(key, k2)[0])
+        np.testing.assert_allclose(runner(1)(), float(m_one["loss"]),
+                                   rtol=1e-6)
 
 
 class TestLeanDecision:

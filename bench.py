@@ -716,13 +716,22 @@ def _make_bench_video(path, n=E2E_FRAMES, w=640, h=480):
     writer.release()
 
 
-def _build_e2e_detector(batch):
+DET_TRAIN_FLOOR_S = 130.0  # 600-step distillation measured 71 s + compiles
+
+
+def _build_e2e_detector(batch, train_budget_s=0.0):
     """PoseNet2D for the e2e pipeline: the TRAINED checkpoint when one
     exists (VERDICT r4 item 4 — the recorded e2e number should reflect the
     real path, not a randomly-initialized detector), random init otherwise.
     Checkpoint location: $POSE3D_DET_LOGDIR / $POSE3D_DET_RUN (defaults
     ./logs, det-bench — `python -m pose3d_tpu.cli.train_detector
-    --run_name det-bench` writes it). Returns (detect_fn, source_label)."""
+    --run_name det-bench` writes it). When the checkpoint is MISSING (the
+    untracked logs/ dir is wiped between sessions on this host) and
+    ``train_budget_s`` covers the measured ~71 s distillation, bench trains
+    it in place (deterministic seeds reproduce the committed 2.88 px @256
+    record) rather than silently benching random init; POSE3D_DET_TRAIN=0
+    opts out. Returns (detect_fn, source_label)."""
+    import contextlib
     import os
 
     import jax
@@ -733,6 +742,21 @@ def _build_e2e_detector(batch):
 
     log_dir = os.environ.get("POSE3D_DET_LOGDIR", "./logs")
     run = os.environ.get("POSE3D_DET_RUN", "det-bench")
+    if (not ckpt.exists(log_dir, run)
+            and train_budget_s >= DET_TRAIN_FLOOR_S
+            and os.environ.get("POSE3D_DET_TRAIN", "1") != "0"):
+        _log(f"e2e: no detector checkpoint at {log_dir}/{run} — training "
+             f"one ({train_budget_s:.0f}s spare budget)")
+        try:
+            from pose3d_tpu.cli.train_detector import train as _train_det
+            from pose3d_tpu.config import DetectorConfig
+
+            # stdout must stay JSON-only for the driver; the trainer prints
+            with contextlib.redirect_stdout(sys.stderr):
+                _train_det(DetectorConfig(run_name=run, log_dir=log_dir))
+        except Exception as e:  # noqa: BLE001 — fall back to random init
+            _log(f"e2e: detector training failed "
+                 f"({type(e).__name__}: {str(e)[:160]})")
     arch, source = "resnet50", "random-init"
     if ckpt.exists(log_dir, run):
         meta = ckpt.load_meta(log_dir, run)
@@ -762,7 +786,7 @@ def _build_e2e_detector(batch):
     return detect, source
 
 
-def tpu_e2e_video_throughput():
+def tpu_e2e_video_throughput(spare_budget_s=0.0):
     """Whole video->3D pipeline wall-clock: native C++ decode (OVERLAPPED
     with detection — chunk i detects on device while chunk i+1 decodes) ->
     PoseNet2D detector (trained checkpoint when available) -> fused
@@ -796,7 +820,7 @@ def tpu_e2e_video_throughput():
     if not video.exists():
         _make_bench_video(video)
 
-    detect, det_source = _build_e2e_detector(E2E_DETECT_B)
+    detect, det_source = _build_e2e_detector(E2E_DETECT_B, spare_budget_s)
     _log(f"e2e detector: {det_source}")
 
     lifter = TemporalLifter(dtype=jnp.bfloat16)
@@ -1060,7 +1084,10 @@ def main():
         }
 
     def e2e(lean):
-        e2e_fps, e2e_extra = tpu_e2e_video_throughput()
+        # spare budget beyond this workload's own floor may retrain the
+        # detector checkpoint if logs/ was wiped (measured ~100 s)
+        e2e_fps, e2e_extra = tpu_e2e_video_throughput(
+            spare_budget_s=max(0.0, remaining() - 160.0))
         return {
             "video_frames_per_s": round(e2e_fps, 1),
             # no runnable reference anchor exists in this env: the

@@ -86,10 +86,14 @@ class PoseNet3D(nn.Module):
     # fuse the final 1x1 conv INTO the decode (ops/pallas_conv_decode):
     # the (B,H,W,J*D) logits never exist in HBM in either direction —
     # forward and backward both read the trunk features exactly once.
-    # Applies to both train and eval (coords-only path); opt-in until the
-    # on-chip ladder lands (experiments/direct_profile.py). Like every
-    # pallas_call it is NOT partitionable by GSPMD — use it single-chip or
-    # inside a shard_map DP step, not under a jit-with-shardings mesh.
+    # Applies to both train and eval (coords-only path). On-chip ladder
+    # (round 5, identical-executable estimator): the fused epilogue wins
+    # the full train step by a consistent ~1.1% (49.2 vs 49.8 ms at B=64;
+    # the step is conv-bound, so the 13.5->4.8 ms epilogue win is diluted).
+    # Opt-in because it is TPU-only; like every pallas_call it is NOT
+    # partitionable by GSPMD — use it single-chip or inside a shard_map DP
+    # step (train.image_steps.make_dp_direct_train_step), not under a
+    # jit-with-shardings mesh.
     fuse_final_conv: bool = False
     dtype: jnp.dtype = jnp.float32
 

@@ -364,6 +364,25 @@ def frame_chunked_attention(qkv, seq, heads, dh, chunk):
     return jnp.concatenate(outs, axis=0)
 
 
+def grouped_chunked_attention(qkv, seq, heads, dh, group, chunk):
+    """Grouped-head attention (``grouped_heads_attention``) computed in
+    frame-aligned ``chunk``-row score tiles — the serving-side analogue of
+    the fused train kernels' ``_attention_fwd`` (ops/pallas_stblock_train):
+    chunking bounds the (C, g*C) grouped score tile at C = chunk while the
+    cell's dense matmuls keep their full-width M. Falls back to one
+    full-width grouped product when chunking would split a sequence (same
+    predicate as ``frame_chunked_attention``); ``seq=None`` is full
+    attention over all rows in one grouped product."""
+    rows = qkv.shape[0]
+    if seq is None or chunk >= rows or rows % chunk or chunk % seq:
+        return grouped_heads_attention(qkv, seq, heads, dh, group)
+    outs = [
+        grouped_heads_attention(qkv[c0:c0 + chunk], seq, heads, dh, group)
+        for c0 in range(0, rows, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 def chunk_for(seq: int) -> int:
     """Attention-chunk default: smallest multiple of ``seq`` >= 128 — big
     enough to keep the (chunk, dh) matmul M-dim efficient, small enough

@@ -63,6 +63,12 @@ ROWS = 1088
 # frame-aligned attention-chunk width for the packed per-frame scores
 # (see ops/pallas_attention.frame_chunked_attention)
 ATTN_CHUNK = 136
+# grouped-head attention (g heads' scores stacked in lanes, K = g*64):
+# None = per-head chunked. Measured on chip at B=8192
+# (campaign_r5/serving_attn_group_ladder.log): per-head 5.469 ms/iter,
+# g=2 5.592 — dh=64 already half-fills the MXU K-width and the forward's
+# attention share is small, so grouping loses; per-head stays default.
+ATTN_GROUP = None
 
 
 @dataclass(frozen=True)
@@ -117,8 +123,14 @@ def _packed_attention(qkv, mask):
     the shared ops/pallas_attention helpers.
     """
     del mask  # the chunked helper builds its own per-chunk masks
-    from pose3d_tpu.ops.pallas_attention import frame_chunked_attention
+    from pose3d_tpu.ops.pallas_attention import (
+        frame_chunked_attention,
+        grouped_chunked_attention,
+    )
 
+    if ATTN_GROUP:
+        return grouped_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD,
+                                         ATTN_GROUP, ATTN_CHUNK)
     return frame_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD,
                                    ATTN_CHUNK)
 

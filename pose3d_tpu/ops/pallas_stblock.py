@@ -55,12 +55,40 @@ DIM_HEAD = DIM // HEADS
 MLP = 4 * DIM
 ROWS = 544  # 32 frames x 17 joint tokens
 ATTN_CHUNK = 136  # 8 frames per score tile (see _spatial_kernel)
+# grouped-head attention: g heads' scores stacked in lanes so the score
+# contractions run at K = g*DIM_HEAD (128 for g=4) instead of 8 per-head
+# K=32 matmuls over lane-unaligned slices — the round-5 TRAIN-kernel win
+# (pallas_stblock_train.ATTN_GROUP, TEMPORAL_TRAIN_FLOOR.md). Measured on
+# chip for the SERVING forward (campaign_r5/serving_attn_group_ladder.log,
+# B=16x243 whole trunk): per-head 18.40 ms/iter, g=4 18.56, g=2 19.27,
+# g=8 21.27 — the win does NOT transfer (the train step's attention share
+# is mostly BACKWARD; the forward's per-head chunked matmuls are already
+# near their floor, and the grouped zero-FLOP expansion costs more than
+# the saved issues). Default stays per-head (None); the option and its
+# parity test remain for future shapes.
+ATTN_GROUP = None
+
+
+def _attention(qkv, seq):
+    """Serving-side attention dispatch, mirroring the train kernels'
+    _attention_fwd: grouped when ATTN_GROUP is set, per-head otherwise;
+    frame-chunked for packed rows (seq=N_JOINTS), full for seq=None."""
+    from pose3d_tpu.ops.pallas_attention import (
+        frame_chunked_attention,
+        grouped_chunked_attention,
+        masked_heads_attention,
+    )
+
+    if ATTN_GROUP:
+        return grouped_chunked_attention(qkv, seq, HEADS, DIM_HEAD,
+                                         ATTN_GROUP, ATTN_CHUNK)
+    if seq is None:
+        return masked_heads_attention(qkv, None, HEADS, DIM_HEAD)
+    return frame_chunked_attention(qkv, seq, HEADS, DIM_HEAD, ATTN_CHUNK)
 
 
 def _spatial_kernel(x_ref, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
                     ln2_g, ln2_b, w1, b1, w2, b2, out_ref):
-    from pose3d_tpu.ops.pallas_attention import frame_chunked_attention
-
     x = x_ref[...]
 
     y = _ln(x, lna_g[...][0], lna_b[...][0])
@@ -69,8 +97,7 @@ def _spatial_kernel(x_ref, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
     # frame-aligned chunks: the dh=32-contraction score matmuls are what
     # the 32-frame packing wastes (exp measured free) — chunking cuts them
     # ROWS/ATTN_CHUNK-fold while qkv/proj/MLP keep the full-width M
-    attn = frame_chunked_attention(qkv, N_JOINTS, HEADS, DIM_HEAD,
-                                   ATTN_CHUNK)
+    attn = _attention(qkv, N_JOINTS)
     x = x + (jnp.dot(attn, w_proj[...], preferred_element_type=jnp.float32)
              + b_proj[...][0].astype(jnp.float32)).astype(x.dtype)
     y = _ln(x, ln2_g[...][0], ln2_b[...][0])
@@ -92,12 +119,10 @@ def _temporal_subblock_infer(x, lna_g, lna_b, w_qkv, b_qkv, w_proj, b_proj,
     """Whole temporal sub-block (LN -> qkv -> full attention over the
     sequence -> proj -> residual -> LN -> MLP -> residual) on one (L, 256)
     sequence; operands are already-read VMEM values."""
-    from pose3d_tpu.ops.pallas_attention import masked_heads_attention
-
     y = _ln(x, lna_g[0], lna_b[0])
     qkv = (jnp.dot(y, w_qkv, preferred_element_type=jnp.float32)
            + b_qkv[0].astype(jnp.float32)).astype(x.dtype)
-    attn = masked_heads_attention(qkv, None, HEADS, DIM_HEAD)
+    attn = _attention(qkv, None)
     x = x + (jnp.dot(attn, w_proj, preferred_element_type=jnp.float32)
              + b_proj[0].astype(jnp.float32)).astype(x.dtype)
     y = _ln(x, ln2_g[0], ln2_b[0])

@@ -40,6 +40,34 @@ class TestTemporalForwardFused:
         err = np.abs(got - want).max()
         assert err < 0.1, f"max abs err {err}"
 
+    @pytest.mark.slow
+    def test_grouped_matches_per_head_serving(self, setup, monkeypatch):
+        """ATTN_GROUP in the SERVING kernels (round 5 ported the train
+        kernels' grouped-head attention to spatial/temporal serving):
+        grouped whole-trunk forward == the per-head one within bf16
+        rounding — the two forms take the f32 softmax-normalizer sum in
+        different orders (seg-sum matmul vs row reduction), so ~2-ulp
+        bf16 deltas compound through the 2-block residual trunk (measured
+        max 0.016 on this seed; the flax-oracle tests above bound BOTH
+        forms at 5e-2 independently). clear_cache(): the kernel entry
+        points are jitted and ATTN_GROUP is read at trace time."""
+        import pose3d_tpu.ops.pallas_stblock as sb
+
+        _, params, x = setup
+
+        def run():
+            sb.spatial_block_fused.clear_cache()
+            sb.temporal_block_fused.clear_cache()
+            sb.temporal_slab_fused.clear_cache()
+            return np.asarray(temporal_forward_fused(
+                params, x[:4], n_blocks=2, clip_len=27, interpret=True))
+
+        monkeypatch.setattr(sb, "ATTN_GROUP", 4)
+        got_g = run()
+        monkeypatch.setattr(sb, "ATTN_GROUP", None)
+        got_p = run()
+        np.testing.assert_allclose(got_g, got_p, atol=3e-2, rtol=3e-2)
+
     def test_bad_shapes_raise(self, setup):
         _, params, x = setup
         with pytest.raises(ValueError, match="expected"):

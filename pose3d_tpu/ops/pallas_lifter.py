@@ -94,17 +94,45 @@ def _ln(x, g, b):
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
 
+# erf(x) ~= clamp(x)·P(clamp(x)^2): degree-8 Chebyshev interpolant of
+# erf(x)/x in s = x^2 on [0, 9], converted to the power basis, clamped at
+# |x| = 3 (erfc(3) = 2.2e-5). Max |err| vs true erf: 2.7e-5 over ALL x —
+# ~150x below bf16 resolution (2^-8), so GELU built on it is bit-equivalent
+# to the exact one at the kernels' bf16 activation dtype. Replaces the
+# A&S 7.1.26 rational form (round 5): that one needed exp + a divide per
+# element, and the on-chip ablation (campaign_r5/lift_floor_probe.log)
+# measured GELU at 1.65 ms of the 5.48 ms flagship iter — 30%, all VPU
+# transcendentals. Horner in s is 8 FMAs + clamp + 1 mul: pure vector ALU.
+# The odd form x·P(x^2) carries the sign for free (P is even in x).
+_ERF_C = (1.1283599228e+00, -3.7577772172e-01, 1.1177045202e-01,
+          -2.5570011680e-02, 4.4038703607e-03, -5.4564336601e-04,
+          4.5123548106e-05, -2.1986137083e-06, 4.7283642828e-08)
+_ERF_CLAMP = 3.0
+# P'(s) coefficients, for the polynomial gelu backward
+# (ops/pallas_stblock_train._gelu_grad): d/dx [x·P(x^2)] = P(s) + 2s·P'(s)
+_ERF_D = tuple(float((i + 1) * c) for i, c in enumerate(_ERF_C[1:]))
+
+
+def _horner(coefs, s):
+    p = jnp.full_like(s, coefs[-1])
+    for c in coefs[-2::-1]:
+        p = p * s + c
+    return p
+
+
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 rational approximation (max err 1.5e-7)
-    — Mosaic has no erf primitive, and 1.5e-7 is far below bf16 noise."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-ax * ax))
+    xc = jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP)
+    return xc * _horner(_ERF_C, xc * xc)
+
+
+def _erf_grad(x):
+    """d/dx of the clamped-poly erf above (0 outside the clamp, where the
+    true slope is 2/sqrt(pi)·e^-9 ~ 1.4e-4 — under bf16 noise). Used by the
+    train kernels' gelu backward so the gradient is the EXACT derivative
+    of the forward actually computed."""
+    s = jnp.square(jnp.clip(x, -_ERF_CLAMP, _ERF_CLAMP))
+    inner = _horner(_ERF_C, s) + 2.0 * s * _horner(_ERF_D, s)
+    return jnp.where(jnp.abs(x) < _ERF_CLAMP, inner, 0.0)
 
 
 def _gelu(x):

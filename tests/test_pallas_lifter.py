@@ -66,3 +66,39 @@ class TestFusedLifterParity:
         np.testing.assert_array_equal(np.asarray(base[1:]),
                                       np.asarray(pert[1:]))
         assert np.abs(np.asarray(base[0]) - np.asarray(pert[0])).max() > 0
+
+
+class TestPolyErf:
+    """The kernels' erf is a clamped odd polynomial (round 5 — the A&S
+    exp+divide form was 30% of the flagship iter, lift_floor_probe.log);
+    these pin its accuracy contract and the train kernels' gradient
+    consistency."""
+
+    def test_erf_max_error(self):
+        """|poly erf - scipy erf| < 5e-5 over all magnitudes incl. the
+        clamp tail — ~150x below bf16 resolution, so GELU built on it is
+        bf16-indistinguishable from exact."""
+        from scipy.special import erf as scipy_erf
+
+        from pose3d_tpu.ops.pallas_lifter import _erf
+
+        x = np.linspace(-8.0, 8.0, 200_001).astype(np.float32)
+        got = np.asarray(jax.jit(_erf)(jnp.asarray(x)))
+        err = np.abs(got - scipy_erf(x.astype(np.float64)))
+        assert err.max() < 5e-5, f"max erf err {err.max():.2e}"
+
+    def test_gelu_grad_is_exact_derivative_of_forward(self):
+        """_gelu_grad must equal jax.grad of the polynomial gelu the
+        forward kernels actually compute (fwd/bwd consistency — the
+        backward is hand-written in the fused train kernels). Tolerance
+        is f32 reassociation: autodiff evaluates the same derivative
+        through a different expression tree than the hand Horner
+        P + 2s·P' (measured max 4.9e-5)."""
+        from pose3d_tpu.ops.pallas_lifter import _gelu
+        from pose3d_tpu.ops.pallas_stblock_train import _gelu_grad
+
+        x = jnp.asarray(np.linspace(-6.0, 6.0, 20_001).astype(np.float32))
+        want = jax.vmap(jax.grad(lambda v: _gelu(v)))(x)
+        got = _gelu_grad(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=0)
